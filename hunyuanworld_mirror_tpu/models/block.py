@@ -1,0 +1,118 @@
+"""Transformer building blocks: MHA (optional QK-norm + 2D RoPE) and pre-LN block.
+
+Behavioral parity targets:
+  reference src/models/layers/attention.py:19-69 (SDPA, per-head-dim QK LayerNorm)
+  reference src/models/layers/block.py:21-93 (pre-LN, LayerScale residuals)
+
+TPU stance: attention runs through jax.nn.dot_product_attention (XLA picks the
+fused flash path on TPU); params are plain pytrees so 24-layer stacks scan.
+"""
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from . import nn
+from .rope import RopeTables, apply_rope2d
+
+
+def attention_init(key, dim: int, num_heads: int, qkv_bias: bool = True,
+                   proj_bias: bool = True, qk_norm: bool = False):
+    k1, k2 = jax.random.split(key)
+    p = {
+        "qkv": nn.linear_init(k1, dim, dim * 3, qkv_bias),
+        "proj": nn.linear_init(k2, dim, dim, proj_bias),
+    }
+    if qk_norm:
+        head_dim = dim // num_heads
+        p["q_norm"] = nn.layer_norm_init(head_dim)
+        p["k_norm"] = nn.layer_norm_init(head_dim)
+    return p
+
+
+def attention(p, x: jnp.ndarray, num_heads: int,
+              rope: Optional[RopeTables] = None,
+              norm_eps: float = 1e-5) -> jnp.ndarray:
+    """Multi-head self-attention over (B, N, C)."""
+    B, N, C = x.shape
+    head_dim = C // num_heads
+
+    qkv = nn.linear(p["qkv"], x).reshape(B, N, 3, num_heads, head_dim)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, D)
+
+    if "q_norm" in p:
+        q = nn.layer_norm(p["q_norm"], q, eps=norm_eps)
+        k = nn.layer_norm(p["k_norm"], k, eps=norm_eps)
+
+    if rope is not None:
+        q = apply_rope2d(q, rope)
+        k = apply_rope2d(k, rope)
+
+    out = jax.nn.dot_product_attention(q, k, v)  # BTNH layout
+    out = out.reshape(B, N, C)
+    return nn.linear(p["proj"], out)
+
+
+def block_init(key, dim: int, num_heads: int, mlp_ratio: float = 4.0,
+               qkv_bias: bool = True, proj_bias: bool = True,
+               ffn_bias: bool = True, init_values: Optional[float] = None,
+               qk_norm: bool = False):
+    k1, k2 = jax.random.split(key)
+    p = {
+        "norm1": nn.layer_norm_init(dim),
+        "attn": attention_init(k1, dim, num_heads, qkv_bias, proj_bias, qk_norm),
+        "norm2": nn.layer_norm_init(dim),
+        "mlp": nn.mlp_init(k2, dim, int(dim * mlp_ratio), dim, ffn_bias),
+    }
+    if init_values:
+        p["ls1"] = nn.layer_scale_init(dim, init_values)
+        p["ls2"] = nn.layer_scale_init(dim, init_values)
+    return p
+
+
+def block(p, x: jnp.ndarray, num_heads: int,
+          rope: Optional[RopeTables] = None,
+          norm_eps: float = 1e-5) -> jnp.ndarray:
+    """Pre-LN transformer block with optional LayerScale."""
+    h = attention(p["attn"], nn.layer_norm(p["norm1"], x, eps=norm_eps),
+                  num_heads, rope=rope, norm_eps=norm_eps)
+    if "ls1" in p:
+        h = nn.layer_scale(p["ls1"], h)
+    x = x + h
+
+    h = nn.mlp(p["mlp"], nn.layer_norm(p["norm2"], x, eps=norm_eps))
+    if "ls2" in p:
+        h = nn.layer_scale(p["ls2"], h)
+    return x + h
+
+
+def patch_embed_conv_init(key, patch_size: int, in_chans: int, embed_dim: int):
+    """Conv patchify (B,H,W,C) -> (B, h*w, D); reference patch_embed.py:23-76."""
+    return {"proj": nn.conv_init(key, in_chans, embed_dim, patch_size)}
+
+
+def patch_embed_conv(p, x: jnp.ndarray, patch_size: int) -> jnp.ndarray:
+    y = nn.conv(p["proj"], x, stride=patch_size, padding="VALID")
+    B, h, w, D = y.shape
+    return y.reshape(B, h * w, D)
+
+
+def patch_embed_mlp_init(key, patch_size: int, in_chans: int, embed_dim: int):
+    """PixelUnshuffle -> Mlp patchify, used for the depth-prior encoder
+    (reference patch_embed.py:79-108, in_chans=1, hidden 4*embed_dim)."""
+    return {"mlp": nn.mlp_init(key, in_chans * patch_size ** 2, 4 * embed_dim, embed_dim)}
+
+
+def patch_embed_mlp(p, x: jnp.ndarray, patch_size: int) -> jnp.ndarray:
+    """x: (B, H, W, C) -> (B, h*w, D) via space-to-depth + MLP.
+
+    Channel order matches torch F.pixel_unshuffle: out[c*r*r + i*r + j].
+    """
+    B, H, W, C = x.shape
+    r = patch_size
+    h, w = H // r, W // r
+    x = x.reshape(B, h, r, w, r, C)
+    x = x.transpose(0, 1, 3, 5, 2, 4)  # (B, h, w, C, r, r)
+    x = x.reshape(B, h * w, C * r * r)
+    return nn.mlp(p["mlp"], x)

@@ -1,0 +1,200 @@
+"""Functional NN primitives: explicit param pytrees, scan-friendly.
+
+Design stance (SURVEY.md §7.1): no module objects — every layer is an
+`*_init(key, ...) -> params` plus a pure `apply(params, x)` function. Layer
+stacks are `jax.tree.map(stack)`-ed and driven by `lax.scan`, params live in
+fp32, matmul compute runs in the caller's dtype (bf16 trunk), LayerNorm
+statistics always in fp32.
+
+Conventions:
+  * images / feature maps are NHWC (TPU-native layout)
+  * conv weights are HWIO, conv-transpose weights HWOI
+  * GELU is exact (erf) to match torch nn.GELU
+"""
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _split(key, n):
+    return jax.random.split(key, n)
+
+
+# ---------------------------------------------------------------------------
+# Initializers
+# ---------------------------------------------------------------------------
+
+def trunc_normal(key, shape, std=0.02, dtype=jnp.float32):
+    return jax.random.truncated_normal(key, -2.0, 2.0, shape, dtype) * std
+
+
+def kaiming_uniform(key, shape, fan_in, dtype=jnp.float32):
+    bound = (6.0 / fan_in) ** 0.5 / (2.0 ** 0.5)  # torch default: a=sqrt(5)
+    # torch kaiming_uniform with a=sqrt(5): gain = sqrt(2/(1+5)) = sqrt(1/3)
+    bound = (1.0 / (3.0 * fan_in)) ** 0.5 * (3.0 ** 0.5)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def xavier_uniform(key, shape, fan_in, fan_out, gain=1.0, dtype=jnp.float32):
+    bound = gain * (6.0 / (fan_in + fan_out)) ** 0.5
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def _bias_uniform(key, shape, fan_in, dtype=jnp.float32):
+    bound = 1.0 / (fan_in ** 0.5) if fan_in > 0 else 0.0
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+# ---------------------------------------------------------------------------
+# Linear
+# ---------------------------------------------------------------------------
+
+def linear_init(key, in_dim: int, out_dim: int, bias: bool = True, std: float = 0.02):
+    kw, kb = _split(key, 2)
+    p = {"w": trunc_normal(kw, (in_dim, out_dim), std)}
+    if bias:
+        p["b"] = jnp.zeros((out_dim,), jnp.float32)
+    return p
+
+
+def linear(p, x):
+    y = x @ p["w"].astype(x.dtype)
+    if "b" in p:
+        y = y + p["b"].astype(x.dtype)
+    return y
+
+
+# ---------------------------------------------------------------------------
+# LayerNorm (fp32 statistics) / LayerScale
+# ---------------------------------------------------------------------------
+
+def layer_norm_init(dim: int, affine: bool = True):
+    if not affine:
+        return {}
+    return {"scale": jnp.ones((dim,), jnp.float32), "bias": jnp.zeros((dim,), jnp.float32)}
+
+
+def layer_norm(p, x, eps: float = 1e-6):
+    dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * lax.rsqrt(var + eps)
+    if p:
+        y = y * p["scale"] + p["bias"]
+    return y.astype(dtype)
+
+
+def layer_scale_init(dim: int, init_value: float = 1e-2):
+    return {"gamma": jnp.full((dim,), init_value, jnp.float32)}
+
+
+def layer_scale(p, x):
+    return x * p["gamma"].astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# MLP (ViT-style fc1 -> GELU -> fc2)
+# ---------------------------------------------------------------------------
+
+def mlp_init(key, in_dim: int, hidden_dim: Optional[int] = None,
+             out_dim: Optional[int] = None, bias: bool = True):
+    hidden_dim = hidden_dim or in_dim
+    out_dim = out_dim or in_dim
+    k1, k2 = _split(key, 2)
+    return {
+        "fc1": linear_init(k1, in_dim, hidden_dim, bias),
+        "fc2": linear_init(k2, hidden_dim, out_dim, bias),
+    }
+
+
+def mlp(p, x):
+    x = linear(p["fc1"], x)
+    x = jax.nn.gelu(x, approximate=False)
+    return linear(p["fc2"], x)
+
+
+def silu_mlp_init(key, in_dim: int, hidden_dim: int, out_dim: int):
+    """Linear -> SiLU -> Linear (used by the pose/ray prior token embedders,
+    reference: src/models/models/visual_transformer.py:179-183,198-202)."""
+    k1, k2 = _split(key, 2)
+    return {
+        "fc1": linear_init(k1, in_dim, hidden_dim),
+        "fc2": linear_init(k2, hidden_dim, out_dim),
+    }
+
+
+def silu_mlp(p, x):
+    x = linear(p["fc1"], x)
+    x = jax.nn.silu(x)
+    return linear(p["fc2"], x)
+
+
+# ---------------------------------------------------------------------------
+# Convolutions (NHWC, HWIO)
+# ---------------------------------------------------------------------------
+
+def conv_init(key, in_ch: int, out_ch: int, kernel: int, bias: bool = True):
+    kh = kw = kernel
+    fan_in = in_ch * kh * kw
+    k1, k2 = _split(key, 2)
+    p = {"w": kaiming_uniform(k1, (kh, kw, in_ch, out_ch), fan_in)}
+    if bias:
+        p["b"] = _bias_uniform(k2, (out_ch,), fan_in)
+    return p
+
+
+def conv(p, x, stride: int = 1, padding="SAME"):
+    if isinstance(padding, int):
+        padding = [(padding, padding), (padding, padding)]
+    y = lax.conv_general_dilated(
+        x, p["w"].astype(x.dtype),
+        window_strides=(stride, stride),
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if "b" in p:
+        y = y + p["b"].astype(x.dtype)
+    return y
+
+
+def conv_transpose_init(key, in_ch: int, out_ch: int, kernel: int, bias: bool = True):
+    kh = kw = kernel
+    fan_in = in_ch * kh * kw  # torch ConvTranspose2d fan-in convention
+    k1, k2 = _split(key, 2)
+    p = {"w": kaiming_uniform(k1, (kh, kw, out_ch, in_ch), fan_in)}
+    if bias:
+        p["b"] = _bias_uniform(k2, (out_ch,), fan_in)
+    return p
+
+
+def conv_transpose(p, x, stride: int):
+    y = lax.conv_transpose(
+        x, p["w"].astype(x.dtype),
+        strides=(stride, stride),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWOI", "NHWC"),
+    )
+    if "b" in p:
+        y = y + p["b"].astype(x.dtype)
+    return y
+
+
+# ---------------------------------------------------------------------------
+# Param-pytree helpers for scanned layer stacks
+# ---------------------------------------------------------------------------
+
+def stack_params(param_list: Sequence):
+    """Stack a list of identical pytrees along a new leading axis (for scan)."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *param_list)
+
+
+def unstack_params(stacked, idx: int):
+    return jax.tree.map(lambda x: x[idx], stacked)
+
+
+def param_count(params) -> int:
+    return sum(int(x.size) for x in jax.tree.leaves(params))

@@ -1,0 +1,87 @@
+"""Quaternion <-> rotation-matrix conversions (scalar-last XYZW order).
+
+Behavioral parity target: /root/reference/src/models/utils/rotation.py:8-126
+(PyTorch3D-derived, XYZW quaternions, sign-standardized real part >= 0).
+Implemented branch-free for XLA.
+"""
+
+import jax.numpy as jnp
+
+
+def quat_to_rotmat(quaternions: jnp.ndarray) -> jnp.ndarray:
+    """Convert quaternions (..., 4) in XYZW order to rotation matrices (..., 3, 3)."""
+    i, j, k, r = jnp.moveaxis(quaternions, -1, 0)
+    two_s = 2.0 / jnp.sum(quaternions * quaternions, axis=-1)
+
+    o = jnp.stack(
+        (
+            1 - two_s * (j * j + k * k),
+            two_s * (i * j - k * r),
+            two_s * (i * k + j * r),
+            two_s * (i * j + k * r),
+            1 - two_s * (i * i + k * k),
+            two_s * (j * k - i * r),
+            two_s * (i * k - j * r),
+            two_s * (j * k + i * r),
+            1 - two_s * (i * i + j * j),
+        ),
+        axis=-1,
+    )
+    return o.reshape(quaternions.shape[:-1] + (3, 3))
+
+
+def _sqrt_positive_part(x: jnp.ndarray) -> jnp.ndarray:
+    """sqrt(max(0, x)) with a zero subgradient at x == 0."""
+    safe = jnp.where(x > 0, x, 1.0)
+    return jnp.where(x > 0, jnp.sqrt(safe), jnp.zeros_like(x))
+
+
+def standardize_quaternion(quaternions: jnp.ndarray) -> jnp.ndarray:
+    """Flip sign so the real (last) component is non-negative."""
+    return jnp.where(quaternions[..., 3:4] < 0, -quaternions, quaternions)
+
+
+def rotmat_to_quat(matrix: jnp.ndarray) -> jnp.ndarray:
+    """Convert rotation matrices (..., 3, 3) to XYZW quaternions (..., 4).
+
+    Uses the numerically robust 4-candidate construction (pick the candidate
+    with the largest denominator), mirroring the reference semantics.
+    """
+    batch_dim = matrix.shape[:-2]
+    m = matrix.reshape(batch_dim + (9,))
+    m00, m01, m02, m10, m11, m12, m20, m21, m22 = jnp.moveaxis(m, -1, 0)
+
+    q_abs = _sqrt_positive_part(
+        jnp.stack(
+            [
+                1.0 + m00 + m11 + m22,
+                1.0 + m00 - m11 - m22,
+                1.0 - m00 + m11 - m22,
+                1.0 - m00 - m11 + m22,
+            ],
+            axis=-1,
+        )
+    )
+
+    # Candidate quaternions in WXYZ order, each scaled by one of (r, i, j, k).
+    quat_by_rijk = jnp.stack(
+        [
+            jnp.stack([q_abs[..., 0] ** 2, m21 - m12, m02 - m20, m10 - m01], axis=-1),
+            jnp.stack([m21 - m12, q_abs[..., 1] ** 2, m10 + m01, m02 + m20], axis=-1),
+            jnp.stack([m02 - m20, m10 + m01, q_abs[..., 2] ** 2, m12 + m21], axis=-1),
+            jnp.stack([m10 - m01, m20 + m02, m21 + m12, q_abs[..., 3] ** 2], axis=-1),
+        ],
+        axis=-2,
+    )
+
+    flr = jnp.asarray(0.1, dtype=q_abs.dtype)
+    quat_candidates = quat_by_rijk / (2.0 * jnp.maximum(q_abs[..., None], flr))
+
+    # Select the best-conditioned candidate (largest q_abs) per element.
+    best = jnp.argmax(q_abs, axis=-1)
+    onehot = jnp.eye(4, dtype=matrix.dtype)[best]  # (..., 4)
+    out = jnp.sum(quat_candidates * onehot[..., None], axis=-2)  # (..., 4) WXYZ
+
+    # WXYZ -> XYZW (scalar-last), then standardize sign.
+    out = out[..., jnp.array([1, 2, 3, 0])]
+    return standardize_quaternion(out)

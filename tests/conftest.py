@@ -1,0 +1,34 @@
+"""Test harness: force an 8-device virtual CPU mesh so sharding logic is
+exercised without TPU hardware, mirroring gsplat's CPU-oracle test pattern
+(reference: submodules/gsplat/tests/test_basic.py uses pure-torch oracles)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
+
+
+def _reference_available() -> bool:
+    return os.path.isdir("/root/reference/src")
+
+
+def torch_reference():
+    """Import the reference repo's torch utils as parity oracles (optional)."""
+    if not _reference_available():
+        pytest.skip("reference repo unavailable")
+    import sys
+
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    torch = pytest.importorskip("torch")
+    return torch
