@@ -1,0 +1,189 @@
+"""WorldMirror top-level assembly: trunk + prediction heads.
+
+Behavioral parity: reference src/models/models/worldmirror.py:16-251 —
+aggregator (optionally prior-prompted) feeding five heads:
+  camera (9-vec -> w2c/K, c2w via SE3 inverse), depth (exp+expp1),
+  points (inv_log+expp1), normals (norm+expp1), Gaussian features
+  (exp+expp1 gs-depth + fused feature map -> splats; see gaussians.py).
+
+The forward is a single pure function: params pytree + typed config in,
+prediction dict out. bf16 trunk, fp32 heads (reference worldmirror.py:146).
+"""
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from . import aggregator, camera_head, dpt
+from .aggregator import VGTConfig
+from .camera_head import CameraHeadConfig
+from .dpt import DPTConfig
+from ..utils import camera as cam_utils
+from ..utils import priors as prior_utils
+
+
+@dataclass(frozen=True)
+class WorldMirrorConfig:
+    img_size: int = 518
+    patch_size: int = 14
+    embed_dim: int = 1024
+    gs_dim: int = 256
+    enable_cond: bool = True
+    enable_cam: bool = True
+    enable_pts: bool = True
+    enable_depth: bool = True
+    enable_norm: bool = True
+    enable_gs: bool = True
+    patch_embed: str = "dinov2_vitl14_reg"
+    sh_degree: int = 0
+    voxel_size: float = 0.002
+
+    @property
+    def vgt(self) -> VGTConfig:
+        return VGTConfig(
+            img_size=self.img_size, patch_size=self.patch_size,
+            embed_dim=self.embed_dim, patch_embed=self.patch_embed,
+            enable_cond=self.enable_cond,
+            depth=24 if "conv" not in self.patch_embed else 24,
+        )
+
+    @property
+    def cam_head(self) -> CameraHeadConfig:
+        return CameraHeadConfig(dim_in=2 * self.embed_dim)
+
+    def _dpt(self, output_dim, activation, **kw) -> DPTConfig:
+        return DPTConfig(dim_in=2 * self.embed_dim, patch_size=self.patch_size,
+                         output_dim=output_dim, activation=activation, **kw)
+
+    @property
+    def pts_head(self) -> DPTConfig:
+        return self._dpt(4, "inv_log+expp1")
+
+    @property
+    def depth_head(self) -> DPTConfig:
+        return self._dpt(2, "exp+expp1")
+
+    @property
+    def norm_head(self) -> DPTConfig:
+        return self._dpt(4, "norm+expp1")
+
+    @property
+    def gs_head(self) -> DPTConfig:
+        return self._dpt(2, "exp+expp1", features=self.gs_dim, is_gsdpt=True)
+
+
+def init(key, cfg: WorldMirrorConfig):
+    keys = jax.random.split(key, 8)
+    params = {"vgt": aggregator.init(keys[0], cfg.vgt)}
+    if cfg.enable_cam:
+        params["cam_head"] = camera_head.init(keys[1], cfg.cam_head)
+    if cfg.enable_pts:
+        params["pts_head"] = dpt.init(keys[2], cfg.pts_head)
+    if cfg.enable_depth:
+        params["depth_head"] = dpt.init(keys[3], cfg.depth_head)
+    if cfg.enable_norm:
+        params["norm_head"] = dpt.init(keys[4], cfg.norm_head)
+    if cfg.enable_gs:
+        from . import gaussians
+        params["gs_head"] = dpt.init(keys[5], cfg.gs_head)
+        params["gs_renderer"] = gaussians.init(keys[6], gaussians.GSRendererConfig(
+            feature_dim=cfg.gs_dim, sh_degree=cfg.sh_degree, voxel_size=cfg.voxel_size))
+    return params
+
+
+def extract_priors(views: Dict[str, jnp.ndarray], image_hw):
+    """Normalize prior inputs (reference worldmirror.py:218-251).
+
+    Returns (depths, rays, poses) — any may be None.
+    """
+    h, w = image_hw
+    depths = rays = poses = None
+
+    if "camera_pose" in views:
+        ext = views["camera_pose"][:, :, :3]  # (B, S, 3, 4)
+        ext = prior_utils.normalize_poses(ext)
+        poses = cam_utils.extrinsics_to_vector(ext)[..., :7]
+
+    if "depthmap" in views:
+        depths = prior_utils.normalize_depth(views["depthmap"])
+
+    if "camera_intrinsics" in views:
+        K = views["camera_intrinsics"][:, :, :3, :3]
+        fx, fy = K[:, :, 0, 0] / w, K[:, :, 1, 1] / h
+        cx, cy = K[:, :, 0, 2] / w, K[:, :, 1, 2] / h
+        rays = jnp.stack([fx, fy, cx, cy], axis=-1)
+
+    return depths, rays, poses
+
+
+def forward(params, cfg: WorldMirrorConfig, views: Dict[str, jnp.ndarray],
+            cond_flags: Sequence[int] = (0, 0, 0),
+            render: bool = True) -> Dict[str, jnp.ndarray]:
+    """Full model forward.
+
+    Args:
+      views: dict with 'img' (B, S, H, W, 3) in [0, 1] (NHWC); optional
+        'camera_pose' (B,S,4,4), 'depthmap' (B,S,H,W), 'camera_intrinsics'
+        (B,S,3,3) priors.
+      cond_flags: static (pose, depth, rays) switches.
+      render: if True (and GS enabled), also rasterize the splats back into
+        the input views (rendered_colors/depths/alphas).
+    Returns:
+      prediction dict (shapes per SURVEY.md §3.2).
+    """
+    imgs = views["img"]
+    B, S, H, W, _ = imgs.shape
+
+    use_cond = cfg.enable_cond and sum(cond_flags) > 0
+    priors = extract_priors(views, (H, W)) if use_cond else None
+    token_list, patch_start_idx = aggregator.forward(
+        params["vgt"], cfg.vgt, imgs, priors=priors,
+        cond_flags=cond_flags if use_cond else (0, 0, 0))
+
+    preds: Dict[str, jnp.ndarray] = {}
+
+    if cfg.enable_cam:
+        cam_seq = camera_head.forward(params["cam_head"], cfg.cam_head, token_list)
+        cam_params = cam_seq[-1]  # (B, S, 9)
+        preds["camera_params"] = cam_params
+
+        ext, intr = cam_utils.vector_to_camera_matrices(cam_params, image_hw=(H, W))
+        w2c = cam_utils.to_homogeneous(ext)
+        preds["camera_poses"] = cam_utils.se3_inverse(w2c)  # c2w (OpenCV)
+        preds["camera_intrs"] = intr
+
+    if cfg.enable_depth:
+        depth, depth_conf = dpt.forward(params["depth_head"], cfg.depth_head,
+                                        token_list, imgs, patch_start_idx)
+        preds["depth"] = depth          # (B, S, H, W, 1)
+        preds["depth_conf"] = depth_conf
+
+    if cfg.enable_pts:
+        pts, pts_conf = dpt.forward(params["pts_head"], cfg.pts_head,
+                                    token_list, imgs, patch_start_idx)
+        preds["pts3d"] = pts            # (B, S, H, W, 3)
+        preds["pts3d_conf"] = pts_conf
+
+    if cfg.enable_norm:
+        normals, norm_conf = dpt.forward(params["norm_head"], cfg.norm_head,
+                                         token_list, imgs, patch_start_idx)
+        preds["normals"] = normals
+        preds["normals_conf"] = norm_conf
+
+    if cfg.enable_gs:
+        from . import gaussians
+        gs_feat, gs_depth, gs_depth_conf = dpt.forward(
+            params["gs_head"], cfg.gs_head, token_list, imgs, patch_start_idx)
+        preds["gs_depth"] = gs_depth
+        preds["gs_depth_conf"] = gs_depth_conf
+        preds = gaussians.render(
+            params["gs_renderer"],
+            gaussians.GSRendererConfig(feature_dim=cfg.gs_dim,
+                                       sh_degree=cfg.sh_degree,
+                                       voxel_size=cfg.voxel_size),
+            gs_feats=gs_feat, images=imgs, predictions=preds,
+            do_render=render)
+
+    return preds
