@@ -191,9 +191,9 @@ def forward(params, cfg: VGTConfig, images: jnp.ndarray,
     # pair of each segment is the captured intermediate.
     paired = {"frame": params["frame_blocks"], "global": params["global_blocks"]}
     x = tokens.reshape(B, S, N, C)
-    outputs = []
+    captured = {}
     seg_start = 0
-    for idx in cfg.intermediate_idxs:
+    for idx in sorted(set(cfg.intermediate_idxs)):
         seg = jax.tree.map(lambda a: a[seg_start:idx + 1], paired)
 
         def seg_scan(carry, lp):
@@ -208,8 +208,9 @@ def forward(params, cfg: VGTConfig, images: jnp.ndarray,
             x, _ = lax.scan(seg_scan, x, body)
         last = jax.tree.map(lambda a: a[-1], seg)
         x, xf = layer(x, last)
-        outputs.append(jnp.concatenate([xf, x], axis=-1))  # (B, S, N, 2C)
+        captured[idx] = jnp.concatenate([xf, x], axis=-1)  # (B, S, N, 2C)
         seg_start = idx + 1
+    outputs = [captured[i] for i in cfg.intermediate_idxs]
 
     # Any trailing layers after the last capture index still run (parity with
     # a full-depth loop), though the default config captures the final layer.

@@ -1,0 +1,267 @@
+"""Pixel-aligned 3D Gaussian head: raw params -> splats -> rendered views.
+
+Behavioral parity: reference src/models/models/rasterization.py:96-533 —
+2-conv gs_head with segment-wise init (quats/scales/opacity/SH/weights),
+activations (utils/gs_act.py), means by unprojecting gs_depth through the
+predicted cameras, residual-SH over RGB2SH(image), confidence top-K filter,
+voxel weighted merge, and chunked rasterization of all views.
+
+TPU re-design notes:
+  * quats follow the reference's gsplat convention (WXYZ) inside the splat
+    dict so PLY export and checkpoint conversion stay layout-compatible; the
+    rasterizer is told `quat_order="wxyz"`.
+  * the voxel merge (reference `torch.unique` + scatter_add loops) becomes a
+    static-shape lexicographic sort over quantized coords + segment_sum;
+    merged-away entries stay in the array as dead splats (opacity 0) so
+    shapes never change under jit.
+  * the per-batch python loops become `lax.map`s.
+"""
+
+from dataclasses import dataclass
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from . import nn
+from ..ops import rasterizer
+from ..utils import camera as cam_utils
+from ..utils import geometry, gs_act
+from ..utils import sh as sh_utils
+
+
+@dataclass(frozen=True)
+class GSRendererConfig:
+    feature_dim: int = 256
+    sh_degree: int = 0
+    predict_offset: bool = False
+    predict_residual_sh: bool = True
+    enable_prune: bool = True
+    voxel_size: float = 0.002
+    enable_conf_filter: bool = False
+    conf_threshold_percent: float = 30.0
+    max_gaussians: int = 5_000_000
+    render_chunk: int = 4
+    max_per_tile: int = 4096
+    max_tiles_per_gauss: int = 9
+    rasterizer_impl: str = "jax"
+
+    @property
+    def nums_sh(self) -> int:
+        return (self.sh_degree + 1) ** 2
+
+    @property
+    def raw_channels(self) -> int:
+        base = 4 + 3 + 1 + self.nums_sh * 3 + 1
+        return base + (3 if self.predict_offset else 0)
+
+    @property
+    def splits(self):
+        s = [4, 3, 1, self.nums_sh * 3, 1]
+        return s + ([3] if self.predict_offset else [])
+
+
+def init(key, cfg: GSRendererConfig):
+    """gs_head: conv3x3 (f/2 -> f, no bias) + ReLU + conv1x1 (f -> raw).
+
+    The final conv's weight/bias are initialized per parameter segment
+    (reference rasterization.py:129-160): xavier gain per segment, constant
+    bias (quats 0, scales -7, opacity -2, SH 0, weights -2, offsets 1e-3).
+    """
+    f = cfg.feature_dim
+    k1, k2 = jax.random.split(key)
+    conv1 = nn.conv_init(k1, f // 2, f, 3, bias=False)
+
+    splits_and_inits = [(4, 1.0, 0.0), (3, 3e-5, -7.0), (1, 1.0, -2.0),
+                        (3 * cfg.nums_sh, 1.0, 0.0), (1, 1.0, -2.0)]
+    if cfg.predict_offset:
+        splits_and_inits.append((3, 0.001, 0.001))
+
+    w = jnp.zeros((1, 1, f, cfg.raw_channels), jnp.float32)
+    b = jnp.zeros((cfg.raw_channels,), jnp.float32)
+    start = 0
+    keys = jax.random.split(k2, len(splits_and_inits))
+    for i, (n_out, gain, bias) in enumerate(splits_and_inits):
+        seg = nn.xavier_uniform(keys[i], (1, 1, f, n_out), fan_in=f,
+                                fan_out=n_out, gain=gain)
+        w = w.at[..., start:start + n_out].set(seg)
+        b = b.at[start:start + n_out].set(bias)
+        start += n_out
+    conv2 = {"w": w, "b": b}
+    return {"conv1": conv1, "conv2": conv2}
+
+
+def _gs_head_apply(params, feats: jnp.ndarray) -> jnp.ndarray:
+    """(B*S, H, W, f/2) fused DPT features -> (B*S, H, W, raw_channels)."""
+    x = jax.nn.relu(nn.conv(params["conv1"], feats, padding=1))
+    return nn.conv(params["conv2"], x)
+
+
+def prepare_splats(cfg: GSRendererConfig, gs_params: jnp.ndarray,
+                   images: jnp.ndarray, predictions: Dict) -> Dict:
+    """Raw head output -> activated splat dict (B, N=S*H*W, ...).
+
+    Means come from unprojecting gs_depth through the predicted cameras
+    (position_from="gsdepth+predcamera", reference rasterization.py:469-484).
+    """
+    B, S, H, W, _ = images.shape
+    N = S * H * W
+    raw = gs_params.reshape(B, N, cfg.raw_channels)
+
+    import itertools
+    offsets = list(itertools.accumulate(cfg.splits))[:-1]  # static split points
+    parts = jnp.split(raw, offsets, axis=-1)
+    if cfg.predict_offset:
+        quats, scales, opacities, residual_sh, weights, offsets = parts
+        offsets = gs_act.reg_dense_offsets(offsets)
+    else:
+        quats, scales, opacities, residual_sh, weights = parts
+        offsets = 0.0
+
+    splats = {
+        "quats": gs_act.reg_dense_rotation(quats),
+        "scales": jnp.minimum(gs_act.reg_dense_scales(scales), 0.3),
+        "opacities": gs_act.reg_dense_opacities(opacities[..., 0]),
+        "weights": gs_act.reg_dense_weights(weights[..., 0]),
+    }
+
+    residual_sh = gs_act.reg_dense_sh(residual_sh)  # (B, N, nums_sh, 3)
+    if cfg.predict_residual_sh:
+        dc = sh_utils.rgb_to_sh(images.reshape(B, N, 3))
+        sh = residual_sh.at[..., 0, :].add(dc) if cfg.nums_sh > 1 else (
+            residual_sh + dc[..., None, :])
+        splats["sh"] = sh
+        splats["residual_sh"] = residual_sh
+    else:
+        splats["sh"] = residual_sh
+
+    depth = predictions["gs_depth"].reshape(B * S, H, W)
+    ext, intr = cam_utils.vector_to_camera_matrices(
+        predictions["camera_params"].reshape(B * S, 9), (H, W))
+    c2w = cam_utils.se3_inverse(cam_utils.to_homogeneous(ext))
+    pts3d, _, _ = geometry.depth_to_world_coords_points(
+        depth, lax.stop_gradient(c2w), lax.stop_gradient(intr))
+    splats["means"] = pts3d.reshape(B, N, 3) + offsets
+    return splats
+
+
+def confidence_filter(cfg: GSRendererConfig, splats: Dict,
+                      conf: jnp.ndarray) -> Dict:
+    """Keep the top (100-p)% most confident splats, deaden the rest.
+
+    Static-shape version of reference rasterization.py:248-299: rather than
+    gathering a smaller array, below-threshold splats get opacity 0.
+    """
+    B, N = splats["means"].shape[:2]
+    c = conf.reshape(B, N)
+    c = jnp.where(c <= 1e-5, -jnp.inf, c)
+    keep = int(min(cfg.max_gaussians, max(1, -(-N * (100.0 - cfg.conf_threshold_percent) // 100.0))))
+    kth = jnp.sort(c, axis=1)[:, N - keep]  # threshold value per batch
+    alive = c >= kth[:, None]
+    out = dict(splats)
+    out["opacities"] = jnp.where(alive, splats["opacities"], 0.0)
+    out["weights"] = jnp.where(alive, splats["weights"], 0.0)
+    return out
+
+
+def voxel_prune(cfg: GSRendererConfig, splats: Dict) -> Dict:
+    """Merge splats sharing a voxel by weight (reference :301-387), static-shape.
+
+    Lexicographic sort on quantized (ix, iy, iz); each voxel's members form a
+    contiguous segment; weighted segment sums produce the merged splat stored
+    at the segment head slot; other slots become dead (opacity 0).
+    """
+    B, N = splats["means"].shape[:2]
+    vs = cfg.voxel_size
+
+    def one_batch(s):
+        coords = s["means"]
+        vox = jnp.floor(coords / vs).astype(jnp.int32)
+        vox = vox - jnp.min(vox, axis=0, keepdims=True)
+        order = jnp.arange(N, dtype=jnp.int32)
+        ix, iy, iz, perm = lax.sort((vox[:, 0], vox[:, 1], vox[:, 2], order),
+                                    num_keys=3)
+        new_seg = jnp.concatenate([
+            jnp.ones((1,), bool),
+            (ix[1:] != ix[:-1]) | (iy[1:] != iy[:-1]) | (iz[1:] != iz[:-1])])
+        seg_id = jnp.cumsum(new_seg) - 1  # (N,) in sorted order
+
+        w = s["weights"][perm]
+        wsum = jax.ops.segment_sum(w, seg_id, num_segments=N)
+        wsum = jnp.maximum(wsum, 1e-8)
+
+        def wavg(x):
+            flat = x.reshape(N, -1)[perm]
+            acc = jax.ops.segment_sum(flat * w[:, None], seg_id, num_segments=N)
+            return (acc / wsum[:, None]).reshape((N,) + x.shape[1:])
+
+        merged = {
+            "means": wavg(s["means"]),
+            "scales": wavg(s["scales"]),
+            "sh": wavg(s["sh"]),
+            "quats": None,
+            "opacities": jax.ops.segment_sum(w * w, seg_id, num_segments=N) / wsum,
+        }
+        q = wavg(s["quats"])
+        merged["quats"] = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-8)
+
+        n_vox = seg_id[-1] + 1
+        alive = jnp.arange(N) < n_vox
+        merged["opacities"] = jnp.where(alive, merged["opacities"], 0.0)
+        merged["scales"] = jnp.where(alive[:, None], merged["scales"], 1e-8)
+        merged["weights"] = jnp.where(alive, wsum, 0.0)
+        return merged
+
+    return jax.vmap(one_batch)({k: splats[k] for k in
+                                ("means", "quats", "scales", "opacities", "sh", "weights")})
+
+
+def render(params, cfg: GSRendererConfig, gs_feats: jnp.ndarray,
+           images: jnp.ndarray, predictions: Dict,
+           do_render: bool = True) -> Dict:
+    """Full GS pipeline: head conv -> splats -> (filter/prune) -> rasterize.
+
+    Args:
+      gs_feats: (B, S, H, W, feature_dim/2) fused DPT features.
+      images: (B, S, H, W, 3).
+    Fills predictions with 'splats' (+ rendered_colors/depths/alphas when
+    `do_render`).
+    """
+    B, S, H, W, _ = images.shape
+    gs_params = _gs_head_apply(params, gs_feats.reshape(B * S, H, W, -1))
+    splats = prepare_splats(cfg, gs_params, images, predictions)
+
+    if cfg.enable_conf_filter and "gs_depth_conf" in predictions:
+        splats = confidence_filter(cfg, splats, predictions["gs_depth_conf"])
+    if cfg.enable_prune:
+        keep_feats = {k: v for k, v in splats.items()
+                      if k in ("means", "quats", "scales", "opacities", "sh", "weights")}
+        splats = {**splats, **voxel_prune(cfg, keep_feats)}
+
+    predictions["splats"] = splats
+
+    if do_render:
+        ext, intr = cam_utils.vector_to_camera_matrices(
+            predictions["camera_params"].reshape(B * S, 9), (H, W))
+        w2c = cam_utils.to_homogeneous(ext).reshape(B, S, 4, 4)
+        Ks = intr.reshape(B, S, 3, 3)
+
+        outs, alphas = [], []
+        for b in range(B):  # B is small and static
+            colors, alpha, _ = rasterizer.rasterize(
+                splats["means"][b], splats["quats"][b], splats["scales"][b],
+                splats["opacities"][b], splats["sh"][b],
+                lax.stop_gradient(w2c[b]), lax.stop_gradient(Ks[b]),
+                W, H, render_mode="RGB+ED",
+                max_per_tile=cfg.max_per_tile,
+                max_tiles_per_gauss=cfg.max_tiles_per_gauss,
+                impl=cfg.rasterizer_impl, quat_order="wxyz")
+            outs.append(colors)
+            alphas.append(alpha)
+        rendered = jnp.stack(outs)   # (B, S, H, W, 4)
+        predictions["rendered_colors"] = rendered[..., :3]
+        predictions["rendered_depths"] = rendered[..., 3:]
+        predictions["rendered_alphas"] = jnp.stack(alphas)
+
+    return predictions

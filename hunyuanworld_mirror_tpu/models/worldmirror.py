@@ -39,6 +39,10 @@ class WorldMirrorConfig:
     patch_embed: str = "dinov2_vitl14_reg"
     sh_degree: int = 0
     voxel_size: float = 0.002
+    trunk_depth: int = 24
+    trunk_heads: int = 16
+    intermediate_idxs: tuple = (4, 11, 17, 23)
+    rasterizer_impl: str = "jax"
 
     @property
     def vgt(self) -> VGTConfig:
@@ -46,7 +50,8 @@ class WorldMirrorConfig:
             img_size=self.img_size, patch_size=self.patch_size,
             embed_dim=self.embed_dim, patch_embed=self.patch_embed,
             enable_cond=self.enable_cond,
-            depth=24 if "conv" not in self.patch_embed else 24,
+            depth=self.trunk_depth, num_heads=self.trunk_heads,
+            intermediate_idxs=self.intermediate_idxs,
         )
 
     @property
@@ -73,6 +78,13 @@ class WorldMirrorConfig:
     def gs_head(self) -> DPTConfig:
         return self._dpt(2, "exp+expp1", features=self.gs_dim, is_gsdpt=True)
 
+    @property
+    def gs_renderer(self):
+        from .gaussians import GSRendererConfig
+        return GSRendererConfig(feature_dim=self.gs_dim, sh_degree=self.sh_degree,
+                                voxel_size=self.voxel_size,
+                                rasterizer_impl=self.rasterizer_impl)
+
 
 def init(key, cfg: WorldMirrorConfig):
     keys = jax.random.split(key, 8)
@@ -88,8 +100,7 @@ def init(key, cfg: WorldMirrorConfig):
     if cfg.enable_gs:
         from . import gaussians
         params["gs_head"] = dpt.init(keys[5], cfg.gs_head)
-        params["gs_renderer"] = gaussians.init(keys[6], gaussians.GSRendererConfig(
-            feature_dim=cfg.gs_dim, sh_degree=cfg.sh_degree, voxel_size=cfg.voxel_size))
+        params["gs_renderer"] = gaussians.init(keys[6], cfg.gs_renderer)
     return params
 
 
@@ -179,10 +190,7 @@ def forward(params, cfg: WorldMirrorConfig, views: Dict[str, jnp.ndarray],
         preds["gs_depth"] = gs_depth
         preds["gs_depth_conf"] = gs_depth_conf
         preds = gaussians.render(
-            params["gs_renderer"],
-            gaussians.GSRendererConfig(feature_dim=cfg.gs_dim,
-                                       sh_degree=cfg.sh_degree,
-                                       voxel_size=cfg.voxel_size),
+            params["gs_renderer"], cfg.gs_renderer,
             gs_feats=gs_feat, images=imgs, predictions=preds,
             do_render=render)
 

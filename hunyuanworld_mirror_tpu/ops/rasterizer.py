@@ -148,50 +148,57 @@ def rasterize(
     if quat_order == "wxyz":
         quats = quats[..., jnp.array([1, 2, 3, 0])]
     covars = projection.quat_scale_to_covar(quats, scales)
-    proj = projection.fully_fused_projection(
-        means, covars, viewmats, Ks, width, height, eps2d=eps2d,
-        near_plane=near_plane, far_plane=far_plane,
-        calc_compensations=calc_compensations)
-
-    op_cam = jnp.broadcast_to(opacities[None, :], proj.depths.shape)
-    if proj.compensations is not None:
-        op_cam = op_cam * proj.compensations
-
-    if colors.ndim == 2:
-        cam_colors = jnp.broadcast_to(colors[None], (viewmats.shape[0],) + colors.shape)
-    else:
-        # SH colors: evaluate per camera toward each gaussian.
-        from ..utils import sh as sh_utils
-        camtoworlds_t = -jnp.einsum("cij,ci->cj", viewmats[:, :3, :3],
-                                    viewmats[:, :3, 3], precision="highest")
-        dirs = means[None, :, :] - camtoworlds_t[:, None, :]
-        dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-8)
-        deg = int(colors.shape[-2] ** 0.5) - 1
-        cam_colors = sh_utils.eval_sh(
-            deg, jnp.swapaxes(colors, -1, -2)[None], dirs[:, :, None, :])
-        cam_colors = jnp.clip(cam_colors + 0.5, 0.0, None)
-
-    if render_mode in ("RGB+D", "RGB+ED"):
-        cam_colors = jnp.concatenate([cam_colors, proj.depths[..., None]], axis=-1)
-    elif render_mode in ("D", "ED"):
-        cam_colors = proj.depths[..., None]
 
     tw = (width + tile_size - 1) // tile_size
     th = (height + tile_size - 1) // tile_size
 
-    def per_camera(m2d, con, col, op, dep, rad):
+    # Project, color, bin, and blend one camera at a time inside a lax.map:
+    # for N ~ 1M gaussians the dense [C, N, 3, 3] intermediates of an
+    # all-camera projection dominate HBM, and XLA reuses the single-camera
+    # buffers across map iterations.
+    def per_camera(viewmat, K):
+        proj = projection.fully_fused_projection(
+            means, covars, viewmat[None], K[None], width, height, eps2d=eps2d,
+            near_plane=near_plane, far_plane=far_plane,
+            calc_compensations=calc_compensations)
+        m2d, con, dep, rad = (proj.means2d[0], proj.conics[0],
+                              proj.depths[0], proj.radii[0])
+        op = opacities * proj.compensations[0] if proj.compensations is not None \
+            else opacities
+
+        if colors.ndim == 2:
+            col = colors
+        else:
+            # SH colors evaluated toward this camera.
+            from ..utils import sh as sh_utils
+            cam_t = -jnp.einsum("ij,i->j", viewmat[:3, :3], viewmat[:3, 3],
+                                precision="highest")
+            dirs = means - cam_t[None, :]
+            dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-8)
+            deg = int(colors.shape[-2] ** 0.5) - 1
+            col = sh_utils.eval_sh(deg, jnp.swapaxes(colors, -1, -2),
+                                   dirs[:, None, :])
+            col = jnp.clip(col + 0.5, 0.0, None)
+            col = jnp.broadcast_to(col, (means.shape[0], colors.shape[-1]))
+
+        if render_mode in ("RGB+D", "RGB+ED"):
+            col = jnp.concatenate([col, dep[..., None]], axis=-1)
+        elif render_mode in ("D", "ED"):
+            col = dep[..., None]
+
         bins = tiles.bin_gaussians(m2d, rad, dep, tile_size, tw, th,
                                    max_tiles_per_gauss, max_per_tile)
         if impl == "pallas":
             from .rasterizer_pallas import rasterize_binned_pallas
-            return rasterize_binned_pallas(m2d, con, col, op, bins,
-                                           width, height, tile_size)
-        return rasterize_binned_jax(m2d, con, col, op, bins,
-                                    width, height, tile_size)
+            out, alpha = rasterize_binned_pallas(m2d, con, col, op, bins,
+                                                 width, height, tile_size)
+        else:
+            out, alpha = rasterize_binned_jax(m2d, con, col, op, bins,
+                                              width, height, tile_size)
+        return out, alpha, bins.n_dropped, rad, m2d, dep
 
-    render_colors, render_alphas = lax.map(
-        lambda args: per_camera(*args),
-        (proj.means2d, proj.conics, cam_colors, op_cam, proj.depths, proj.radii))
+    (render_colors, render_alphas, n_dropped, radii_all, means2d_all,
+     depths_all) = lax.map(lambda args: per_camera(*args), (viewmats, Ks))
 
     if render_mode in ("ED", "RGB+ED"):
         render_colors = jnp.concatenate([
@@ -199,5 +206,8 @@ def rasterize(
             render_colors[..., -1:] / jnp.maximum(render_alphas, 1e-10),
         ], axis=-1)
 
-    meta = {"radii": proj.radii, "means2d": proj.means2d, "depths": proj.depths}
+    meta = {"radii": radii_all, "means2d": means2d_all, "depths": depths_all,
+            # per-camera count of intersections dropped by the static caps —
+            # nonzero means max_per_tile / max_tiles_per_gauss need raising
+            "n_dropped": n_dropped}
     return render_colors, render_alphas, meta

@@ -68,8 +68,11 @@ def vector_to_camera_matrices(
     intr = None
     if build_intr:
         h, w = image_hw
-        fy = h * 0.5 / jnp.tan(fov_v * 0.5)
-        fx = w * 0.5 / jnp.tan(fov_u * 0.5)
+        # tan clamp: the head's relu fov activation can emit exactly 0 (or
+        # >= pi) early in training; the reference would produce inf/negative
+        # focals there. Keep focals finite and positive instead.
+        fy = h * 0.5 / jnp.maximum(jnp.tan(fov_v * 0.5), 1e-6)
+        fx = w * 0.5 / jnp.maximum(jnp.tan(fov_u * 0.5), 1e-6)
         zeros = jnp.zeros_like(fx)
         ones = jnp.ones_like(fx)
         row0 = jnp.stack([fx, zeros, jnp.full_like(fx, w * 0.5)], axis=-1)
