@@ -24,7 +24,7 @@ def build(views_s: int, img: int, render: bool):
 
     cfg = worldmirror.WorldMirrorConfig(
         img_size=img,
-        rasterizer_impl="jax",
+        rasterizer_impl="pallas",
     )
     params = worldmirror.init(jax.random.PRNGKey(0), cfg)
     # bf16 param storage for inference: halves HBM traffic on the weight side

@@ -48,6 +48,10 @@ class VGTConfig:
     init_values: float = 0.01
     enable_cond: bool = False
     intermediate_idxs: Tuple[int, ...] = (4, 11, 17, 23)
+    # Fork variant (reference models/models/visual_transformer.py:194-448):
+    # frame-attention-only trunk, intermediates are frame outputs (dim C, not
+    # the 2C frame-global concat).
+    frame_only: bool = False
 
     @property
     def patch_start_idx(self) -> int:
@@ -90,8 +94,9 @@ def init(key, cfg: VGTConfig):
         "cam_token": nn.trunc_normal(keys[3], (1, 2, 1, cfg.embed_dim), 1e-6),
         "reg_token": nn.trunc_normal(keys[4], (1, 2, cfg.num_register_tokens, cfg.embed_dim), 1e-6),
         "frame_blocks": make_blocks(keys[1]),
-        "global_blocks": make_blocks(keys[2]),
     }
+    if not cfg.frame_only:
+        params["global_blocks"] = make_blocks(keys[2])
 
     if cfg.enable_cond:
         params["pose_embed"] = nn.silu_mlp_init(keys[5], 7, cfg.embed_dim, cfg.embed_dim)
@@ -183,13 +188,19 @@ def forward(params, cfg: VGTConfig, images: jnp.ndarray,
         x = carry  # (B, S, N, C)
         xf = x.reshape(B * S, N, C)
         xf = block(layer_params["frame"], xf, cfg.num_heads, rope=rope_frame)
+        if cfg.frame_only:
+            out = xf.reshape(B, S, N, C)
+            return out, out
         xg = block(layer_params["global"], xf.reshape(B, S * N, C),
                    cfg.num_heads, rope=rope_global)
         return xg.reshape(B, S, N, C), xf.reshape(B, S, N, C)
 
     # Scan in segments ending at each capture index; the final (frame, global)
     # pair of each segment is the captured intermediate.
-    paired = {"frame": params["frame_blocks"], "global": params["global_blocks"]}
+    if cfg.frame_only:
+        paired = {"frame": params["frame_blocks"]}
+    else:
+        paired = {"frame": params["frame_blocks"], "global": params["global_blocks"]}
     x = tokens.reshape(B, S, N, C)
     captured = {}
     seg_start = 0
@@ -208,7 +219,10 @@ def forward(params, cfg: VGTConfig, images: jnp.ndarray,
             x, _ = lax.scan(seg_scan, x, body)
         last = jax.tree.map(lambda a: a[-1], seg)
         x, xf = layer(x, last)
-        captured[idx] = jnp.concatenate([xf, x], axis=-1)  # (B, S, N, 2C)
+        if cfg.frame_only:
+            captured[idx] = x  # (B, S, N, C)
+        else:
+            captured[idx] = jnp.concatenate([xf, x], axis=-1)  # (B, S, N, 2C)
         seg_start = idx + 1
     outputs = [captured[i] for i in cfg.intermediate_idxs]
 

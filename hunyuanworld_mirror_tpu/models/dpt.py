@@ -35,6 +35,10 @@ class DPTConfig:
     pos_embed: bool = True
     down_ratio: int = 1
     is_gsdpt: bool = False
+    # False -> no confidence channel: all output_dim channels are the
+    # attribute and a single activation applies (fork heads, reference
+    # models/heads/dense_head.py "linear"/"sigmoid" usage).
+    with_conf: bool = True
 
 
 def _residual_conv_unit_init(key, features: int):
@@ -188,9 +192,13 @@ def forward(p, cfg: DPTConfig, token_list: List[jnp.ndarray],
 
     head = nn.conv(p["output_conv2"]["conv1"], fused, padding=1)
     head = nn.conv(p["output_conv2"]["conv2"], jax.nn.relu(head))
-    preds, conf = activate_head(head, cfg.activation)
+    if cfg.with_conf:
+        preds, conf = activate_head(head, cfg.activation)
+        conf = conf.reshape(B, S, *conf.shape[1:])
+    else:
+        act = cfg.activation.split("+")[0]
+        preds, conf = _ATTR_ACT[act](head), None
     preds = preds.reshape(B, S, *preds.shape[1:])
-    conf = conf.reshape(B, S, *conf.shape[1:])
 
     if cfg.is_gsdpt:
         img_feat = jax.nn.relu(

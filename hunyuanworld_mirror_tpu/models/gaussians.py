@@ -43,8 +43,11 @@ class GSRendererConfig:
     conf_threshold_percent: float = 30.0
     max_gaussians: int = 5_000_000
     render_chunk: int = 4
+    # Binning caps: pixel-aligned splats project to a few px (radius <= 8px
+    # spans at most a 2x2 tile box -> 4 slots); rasterize meta's n_dropped
+    # reports if a scene ever exceeds these.
     max_per_tile: int = 4096
-    max_tiles_per_gauss: int = 9
+    max_tiles_per_gauss: int = 4
     rasterizer_impl: str = "jax"
 
     @property
@@ -162,6 +165,9 @@ def confidence_filter(cfg: GSRendererConfig, splats: Dict,
     out = dict(splats)
     out["opacities"] = jnp.where(alive, splats["opacities"], 0.0)
     out["weights"] = jnp.where(alive, splats["weights"], 0.0)
+    # park dead splats beyond the far plane so projection culls them and they
+    # stop consuming tile-binning slots
+    out["means"] = jnp.where(alive[..., None], splats["means"], 1e12)
     return out
 
 
@@ -207,10 +213,13 @@ def voxel_prune(cfg: GSRendererConfig, splats: Dict) -> Dict:
         merged["quats"] = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-8)
 
         n_vox = seg_id[-1] + 1
-        alive = jnp.arange(N) < n_vox
+        # a voxel whose members were all dead (weight ~0) stays dead
+        alive = (jnp.arange(N) < n_vox) & (wsum > 1e-6)
         merged["opacities"] = jnp.where(alive, merged["opacities"], 0.0)
         merged["scales"] = jnp.where(alive[:, None], merged["scales"], 1e-8)
         merged["weights"] = jnp.where(alive, wsum, 0.0)
+        # park dead voxels beyond the far plane (see confidence_filter)
+        merged["means"] = jnp.where(alive[:, None], merged["means"], 1e12)
         return merged
 
     return jax.vmap(one_batch)({k: splats[k] for k in

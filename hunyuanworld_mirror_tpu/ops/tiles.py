@@ -58,7 +58,15 @@ def bin_gaussians(means2d: jnp.ndarray, radii: jnp.ndarray, depths: jnp.ndarray,
     n_tiles = tile_width * tile_height
     TPG = max_tiles_per_gauss
 
-    tmin, tmax, valid = tile_ranges(means2d, radii, tile_size, tile_width, tile_height)
+    # Depth-sort the gaussians once (stable, ties by index), then enumerate
+    # slots in depth order: a single stable sort by tile id afterwards keeps
+    # the within-tile depth order for free — much cheaper than a 2-key
+    # lexicographic sort over N*TPG entries.
+    order = jnp.argsort(depths).astype(jnp.int32)
+    means_s = means2d[order]
+    radii_s = radii[order]
+
+    tmin, tmax, valid = tile_ranges(means_s, radii_s, tile_size, tile_width, tile_height)
     bw = tmax[:, 0] - tmin[:, 0]  # (N,)
     bh = tmax[:, 1] - tmin[:, 1]
     n_cover = bw * bh
@@ -71,17 +79,11 @@ def bin_gaussians(means2d: jnp.ndarray, radii: jnp.ndarray, depths: jnp.ndarray,
     slot_valid = (k < n_cover[:, None]) & valid[:, None]
     tile_id = jnp.where(slot_valid, ty * tile_width + tx, n_tiles)  # sentinel
 
-    # Depth rank: ties broken by index, so the sort below is deterministic.
-    order = jnp.argsort(depths)
-    rank = jnp.zeros((N,), jnp.int32).at[order].set(jnp.arange(N, dtype=jnp.int32))
-
     flat_tiles = tile_id.reshape(-1)
-    flat_ranks = jnp.broadcast_to(rank[:, None], (N, TPG)).reshape(-1)
-    flat_gauss = jnp.broadcast_to(
-        jnp.arange(N, dtype=jnp.int32)[:, None], (N, TPG)).reshape(-1)
+    flat_gauss = jnp.broadcast_to(order[:, None], (N, TPG)).reshape(-1)
 
-    sorted_tiles, _, sorted_gauss = lax.sort(
-        (flat_tiles, flat_ranks, flat_gauss), num_keys=2)
+    sorted_tiles, sorted_gauss = lax.sort(
+        (flat_tiles, flat_gauss), num_keys=1, is_stable=True)
 
     starts = jnp.searchsorted(sorted_tiles, jnp.arange(n_tiles, dtype=jnp.int32),
                               side="left").astype(jnp.int32)

@@ -1,0 +1,138 @@
+"""Training loop for the CenterSnap 6D-pose workload.
+
+Behavioral parity: reference train.py:152-356 — AdamW(5e-5, wd 0.05) + cosine
+schedule, WDS-shard streaming, per-epoch test pass, checkpoint every 2 epochs.
+Additions over the reference (SURVEY.md §5.3-5.4 gaps): resume from
+checkpoint (params + optimizer + step) and jit-compiled train/eval steps.
+"""
+
+import time
+from dataclasses import dataclass, field
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models import centersnap
+from ..utils import priors as prior_utils
+from . import checkpoint as ckpt_lib
+from . import losses
+
+
+@dataclass
+class TrainConfig:
+    train_shards: str = ""
+    test_shards: str = ""
+    batch_size: int = 20
+    epochs: int = 10
+    lr: float = 5e-5
+    weight_decay: float = 0.05
+    steps_per_epoch: int = 18000  # cosine horizon (reference train.py:178)
+    log_every: int = 100
+    ckpt_every_epochs: int = 2
+    ckpt_path: str = "checkpoints/centersnap.npz"
+    resume: Optional[str] = None
+    seed: int = 0
+    model: centersnap.CenterSnapConfig = field(
+        default_factory=centersnap.CenterSnapConfig)
+
+
+def make_optimizer(cfg: TrainConfig):
+    schedule = optax.cosine_decay_schedule(
+        cfg.lr, decay_steps=cfg.epochs * cfg.steps_per_epoch)
+    return optax.adamw(schedule, weight_decay=cfg.weight_decay)
+
+
+def make_train_step(cfg: TrainConfig, tx):
+    def train_step(params, opt_state, batch):
+        def loss_fn(p):
+            preds = centersnap.forward(p, cfg.model, batch["rgb"],
+                                       batch.get("depth"))
+            return losses.centersnap_loss(preds, batch)
+
+        (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, logs
+
+    return jax.jit(train_step)
+
+
+def make_eval_step(cfg: TrainConfig):
+    def eval_step(params, batch):
+        preds = centersnap.forward(params, cfg.model, batch["rgb"],
+                                   batch.get("depth"))
+        return losses.centersnap_loss(preds, batch)
+
+    return jax.jit(eval_step)
+
+
+def _prepare_batch(cfg: TrainConfig, batch: Dict[str, np.ndarray]) -> Dict:
+    out = {"rgb": jnp.asarray(batch["rgb"]),
+           "heatmap": jnp.asarray(batch["heatmap"]),
+           "pose_map": jnp.asarray(batch["pose_map"])}
+    if "depth" in batch:
+        out["depth"] = prior_utils.normalize_depth_fixed(jnp.asarray(batch["depth"]))
+    # pose maps stored channel-first by the preprocessing (reference
+    # preprocessing/utils.py) -> NHWC
+    if out["pose_map"].ndim == 4 and out["pose_map"].shape[1] == 12:
+        out["pose_map"] = jnp.transpose(out["pose_map"], (0, 2, 3, 1))
+    return out
+
+
+def train(cfg: TrainConfig, log_fn=print):
+    from .data import ShardedLoader
+
+    key = jax.random.PRNGKey(cfg.seed)
+    params = centersnap.init(key, cfg.model)
+    tx = make_optimizer(cfg)
+    opt_state = tx.init(params)
+    step = 0
+
+    if cfg.resume:
+        params, step_loaded = ckpt_lib.load_train_state(cfg.resume)
+        restored = ckpt_lib.restore_opt_state(cfg.resume, opt_state)
+        if restored is not None:
+            opt_state = restored
+        step = step_loaded or 0
+        log_fn(f"resumed from {cfg.resume} at step {step}")
+
+    train_step = make_train_step(cfg, tx)
+    eval_step = make_eval_step(cfg)
+
+    loader = ShardedLoader(cfg.train_shards, batch_size=cfg.batch_size,
+                           seed=cfg.seed)
+    test_loader = (ShardedLoader(cfg.test_shards, batch_size=cfg.batch_size,
+                                 shuffle_buffer=1, seed=cfg.seed)
+                   if cfg.test_shards else None)
+
+    start_epoch = step // max(cfg.steps_per_epoch, 1)
+    for epoch in range(start_epoch, cfg.epochs):
+        t0 = time.time()
+        for batch in loader.epoch(epoch):
+            batch = _prepare_batch(cfg, batch)
+            params, opt_state, loss, logs = train_step(params, opt_state, batch)
+            step += 1
+            if step % cfg.log_every == 0:
+                log_fn(f"epoch {epoch} step {step}: loss={float(loss):.4f} "
+                       + " ".join(f"{k}={float(v):.4f}" for k, v in logs.items()))
+
+        if test_loader is not None:
+            tot, n = 0.0, 0
+            for batch in test_loader.epoch(0):
+                batch = _prepare_batch(cfg, batch)
+                loss, _ = eval_step(params, batch)
+                tot += float(loss)
+                n += 1
+            log_fn(f"epoch {epoch}: test loss {tot / max(n, 1):.4f} "
+                   f"({time.time() - t0:.0f}s)")
+
+        if (epoch + 1) % cfg.ckpt_every_epochs == 0:
+            ckpt_lib.save_params(cfg.ckpt_path, params, step=step,
+                                 opt_state=opt_state)
+            log_fn(f"saved checkpoint -> {cfg.ckpt_path}")
+
+    ckpt_lib.save_params(cfg.ckpt_path, params, step=step, opt_state=opt_state)
+    return params

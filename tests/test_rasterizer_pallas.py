@@ -1,0 +1,86 @@
+"""Pallas tile rasterizer vs the JAX tiled formulation (interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hunyuanworld_mirror_tpu.ops import projection, tiles
+from hunyuanworld_mirror_tpu.ops.rasterizer import rasterize_binned_jax
+from hunyuanworld_mirror_tpu.ops.rasterizer_pallas import rasterize_binned_pallas
+
+from test_rasterizer import _random_scene
+
+
+def _setup(rng, n=150, W=64, H=48, tile=16, mpt=512):
+    means, quats, scales, opac, colors, viewmats, Ks = _random_scene(rng, n=n, c=1)
+    covars = projection.quat_scale_to_covar(jnp.asarray(quats), jnp.asarray(scales))
+    proj = projection.fully_fused_projection(
+        jnp.asarray(means), covars, jnp.asarray(viewmats), jnp.asarray(Ks), W, H)
+    tw, th = (W + tile - 1) // tile, (H + tile - 1) // tile
+    bins = tiles.bin_gaussians(proj.means2d[0], proj.radii[0], proj.depths[0],
+                               tile, tw, th, max_tiles_per_gauss=12,
+                               max_per_tile=mpt)
+    colors_d = jnp.concatenate([jnp.asarray(colors), proj.depths[0][:, None]], -1)
+    return proj, bins, colors_d, jnp.asarray(opac), (W, H, tile)
+
+
+class TestPallasParity:
+    def test_matches_jax_path(self, rng):
+        proj, bins, colors, opac, (W, H, tile) = _setup(rng)
+        img_j, a_j = rasterize_binned_jax(
+            proj.means2d[0], proj.conics[0], colors, opac, bins, W, H, tile)
+        img_p, a_p = rasterize_binned_pallas(
+            proj.means2d[0], proj.conics[0], colors, opac, bins, W, H, tile,
+            True)  # interpret
+        np.testing.assert_allclose(np.asarray(img_p), np.asarray(img_j),
+                                   atol=1e-4, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(a_p), np.asarray(a_j), atol=1e-4)
+
+    def test_multi_chunk_carry(self, rng):
+        # force several chunks per tile so the scratch carry path executes
+        proj, bins, colors, opac, (W, H, tile) = _setup(rng, n=400, mpt=1024)
+        img_j, a_j = rasterize_binned_jax(
+            proj.means2d[0], proj.conics[0], colors, opac, bins, W, H, tile)
+        img_p, a_p = rasterize_binned_pallas(
+            proj.means2d[0], proj.conics[0], colors, opac, bins, W, H, tile,
+            True)
+        np.testing.assert_allclose(np.asarray(img_p), np.asarray(img_j),
+                                   atol=1e-4, rtol=1e-4)
+
+    def test_opaque_early_stop(self, rng):
+        # stack many near-opaque splats on one spot -> early stop must engage
+        N, W, H, tile = 600, 32, 32, 16
+        means2d = jnp.tile(jnp.asarray([[16.0, 16.0]]), (N, 1))
+        conics = jnp.tile(jnp.asarray([[0.5, 0.0, 0.5]]), (N, 1))
+        colors = jnp.linspace(0, 1, N)[:, None] * jnp.ones((1, 3))
+        opac = jnp.full((N,), 0.9)
+        depths = jnp.linspace(1.0, 2.0, N)
+        radii = jnp.full((N, 2), 5, jnp.int32)
+        bins = tiles.bin_gaussians(means2d, radii, depths, tile, 2, 2,
+                                   max_tiles_per_gauss=4, max_per_tile=1024)
+        img_j, a_j = rasterize_binned_jax(means2d, conics, colors, opac,
+                                          bins, W, H, tile)
+        img_p, a_p = rasterize_binned_pallas(means2d, conics, colors, opac,
+                                             bins, W, H, tile, True)
+        np.testing.assert_allclose(np.asarray(img_p), np.asarray(img_j), atol=1e-4)
+        assert 0.999 < float(a_p.max()) <= 1.0
+
+    def test_grad_custom_vjp(self, rng):
+        proj, bins, colors, opac, (W, H, tile) = _setup(rng, n=60)
+
+        def loss_pallas(col, op):
+            img, a = rasterize_binned_pallas(proj.means2d[0], proj.conics[0],
+                                             col, op, bins, W, H, tile, True)
+            return jnp.sum(img ** 2) + jnp.sum(a)
+
+        def loss_jax(col, op):
+            img, a = rasterize_binned_jax(proj.means2d[0], proj.conics[0],
+                                          col, op, bins, W, H, tile)
+            return jnp.sum(img ** 2) + jnp.sum(a)
+
+        gp = jax.grad(loss_pallas, argnums=(0, 1))(colors, opac)
+        gj = jax.grad(loss_jax, argnums=(0, 1))(colors, opac)
+        for a, b in zip(gp, gj):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-3, rtol=1e-3)
