@@ -48,9 +48,13 @@ def _residual_conv_unit_init(key, features: int):
 
 
 def _residual_conv_unit(p, x):
-    out = nn.conv(p["conv1"], jax.nn.relu(x), padding=1)
+    # NB: the reference's ReLU(inplace=True) mutates its input, so the skip
+    # path adds relu(x), NOT x (dense_head.py:445-455 — `out = activation(x)`
+    # aliases x). Verified numerically in test_torch_parity.
+    a = jax.nn.relu(x)
+    out = nn.conv(p["conv1"], a, padding=1)
     out = nn.conv(p["conv2"], jax.nn.relu(out), padding=1)
-    return out + x
+    return out + a
 
 
 def _fusion_block_init(key, features: int, has_residual: bool = True):

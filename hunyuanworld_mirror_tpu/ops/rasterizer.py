@@ -50,9 +50,13 @@ def _blend_tile(means2d, conics, colors, opacities, live, px_xy):
     keep = (sigma >= 0) & (alpha >= ALPHA_THRESHOLD) & live[:, None]
     alpha = jnp.where(keep, alpha, 0.0)
 
+    # log-space prefix product: cumsum has a cheap transpose rule, while
+    # cumprod's VJP makes XLA compile time explode superlinearly in K
+    # (measured 16s -> 137s going K=512 -> 1024 for the grad at this shape)
+    lg = jnp.log1p(-alpha)
+    cum_incl = jnp.cumsum(lg, axis=0)
+    T_before = jnp.exp(cum_incl - lg)
     one_minus = 1.0 - alpha
-    T_after_inc = jnp.cumprod(one_minus, axis=0)
-    T_before = jnp.concatenate([jnp.ones_like(alpha[:1]), T_after_inc[:-1]], axis=0)
 
     tripped = (T_before * one_minus <= T_EPS) & (alpha > 0)
     stopped = jnp.cumsum(tripped, axis=0) > 0  # inclusive: tripped one stops too
@@ -151,6 +155,12 @@ def rasterize(
 
     tw = (width + tile_size - 1) // tile_size
     th = (height + tile_size - 1) // tile_size
+
+    # A tile can never hold more than every (gaussian, tile) pair; clamping
+    # keeps small scenes from paying the full static cap (rounded up so the
+    # Pallas chunking still divides evenly).
+    n_pairs = means.shape[0] * max_tiles_per_gauss
+    max_per_tile = min(max_per_tile, -(-n_pairs // 512) * 512)
 
     # Project, color, bin, and blend one camera at a time inside a lax.map:
     # for N ~ 1M gaussians the dense [C, N, 3, 3] intermediates of an

@@ -66,13 +66,24 @@ def _gaussian_kernel1d(size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
 
 def ssim(a: jnp.ndarray, b: jnp.ndarray, c1: float = 0.01 ** 2,
          c2: float = 0.03 ** 2) -> jnp.ndarray:
-    """SSIM over (..., H, W, C) images in [0, 1], 11x11 gaussian window."""
+    """SSIM over (..., H, W, C) images in [0, 1], 11x11 separable gaussian
+    window via depthwise convs (SAME padding)."""
+    from jax import lax
+
     k = _gaussian_kernel1d()
+    C = a.shape[-1]
+    ky = jnp.broadcast_to(k[:, None, None, None], (11, 1, 1, C)).astype(a.dtype)
+    kx = jnp.broadcast_to(k[None, :, None, None], (1, 11, 1, C)).astype(a.dtype)
 
     def blur(x):
-        x = jnp.apply_along_axis(lambda v: jnp.convolve(v, k, mode="same"), -3, x)
-        x = jnp.apply_along_axis(lambda v: jnp.convolve(v, k, mode="same"), -2, x)
-        return x
+        shape = x.shape
+        x4 = x.reshape((-1,) + shape[-3:])
+        for kern in (ky, kx):
+            x4 = lax.conv_general_dilated(
+                x4, kern, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=C)
+        return x4.reshape(shape)
 
     mu_a, mu_b = blur(a), blur(b)
     var_a = blur(a * a) - mu_a ** 2

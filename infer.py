@@ -36,6 +36,8 @@ def parse_args():
     p.add_argument("--conf-percent", type=float, default=20.0,
                    help="drop bottom X%% confidence points in the point PLY")
     p.add_argument("--rasterizer", choices=["jax", "pallas"], default="pallas")
+    p.add_argument("--video", action="store_true",
+                   help="render a slerp-interpolated novel-view video")
     return p.parse_args()
 
 
@@ -120,6 +122,13 @@ def main():
             np.log(op / (1 - op))[alive])
         io_ply.gs_ply_to_splat(out_dir / "gaussians.ply", out_dir / "gaussians.splat")
         print(f"  wrote gaussians.ply/.splat ({int(alive.sum())} splats)")
+
+    if args.video and "splats" in preds:
+        from hunyuanworld_mirror_tpu.io import render as render_lib
+        vp = render_lib.render_interpolated_video(
+            preds, W, H, str(out_dir / "rendered.mp4"),
+            impl=args.rasterizer)
+        print(f"  wrote novel-view video -> {vp}")
 
     # COLMAP export: depth-unprojected points at subsampled pixels
     w2c = np.linalg.inv(c2w)
