@@ -117,13 +117,16 @@ def _expand_special_tokens(token: jnp.ndarray, b: int, s: int, dtype) -> jnp.nda
 def forward(params, cfg: VGTConfig, images: jnp.ndarray,
             priors: Optional[Tuple] = None,
             cond_flags: Sequence[int] = (0, 0, 0),
-            dtype=jnp.bfloat16) -> Tuple[List[jnp.ndarray], int]:
+            dtype=jnp.bfloat16, ring_mesh=None) -> Tuple[List[jnp.ndarray], int]:
     """Run the alternating-attention trunk.
 
     Args:
       images: (B, S, H, W, 3) in [0, 1] (NHWC).
       priors: optional (depth_maps (B,S,H,W), ray_dirs (B,S,4), poses (B,S,7)).
       cond_flags: static (use_pose, use_depth, use_rays) switches.
+      ring_mesh: optional device Mesh — global-attention layers then run as
+        ring attention over the mesh's "view" axis (parallel/ring.py) instead
+        of one dense GSPMD SDPA; frame attention stays local either way.
     Returns:
       (list of 4 intermediates, each (B, S, N, 2*C) with N = patch_start + P,
        patch_start_idx).
@@ -192,7 +195,7 @@ def forward(params, cfg: VGTConfig, images: jnp.ndarray,
             out = xf.reshape(B, S, N, C)
             return out, out
         xg = block(layer_params["global"], xf.reshape(B, S * N, C),
-                   cfg.num_heads, rope=rope_global)
+                   cfg.num_heads, rope=rope_global, ring_mesh=ring_mesh)
         return xg.reshape(B, S, N, C), xf.reshape(B, S, N, C)
 
     # Scan in segments ending at each capture index; the final (frame, global)

@@ -33,8 +33,13 @@ def attention_init(key, dim: int, num_heads: int, qkv_bias: bool = True,
 
 def attention(p, x: jnp.ndarray, num_heads: int,
               rope: Optional[RopeTables] = None,
-              norm_eps: float = 1e-5) -> jnp.ndarray:
-    """Multi-head self-attention over (B, N, C)."""
+              norm_eps: float = 1e-5, ring_mesh=None) -> jnp.ndarray:
+    """Multi-head self-attention over (B, N, C).
+
+    When `ring_mesh` is a Mesh with a >1 "view" axis, the softmax-attention
+    core runs as ring attention over that axis (parallel/ring.py) — the
+    sequence-parallel path for global cross-view layers.
+    """
     B, N, C = x.shape
     head_dim = C // num_heads
 
@@ -49,16 +54,21 @@ def attention(p, x: jnp.ndarray, num_heads: int,
         q = apply_rope2d(q, rope)
         k = apply_rope2d(k, rope)
 
-    # Explicit einsum attention: on this TPU backend XLA's fused
-    # jax.nn.dot_product_attention path is ~16x SLOWER than two plain batched
-    # matmuls (measured 126.6ms vs 7.8ms at N=5504), and requesting f32 logits
-    # from the bf16 matmul costs another 12x (135ms vs 11ms — the f32 output
-    # path bypasses the fast MXU route). So: logits in the input dtype (the
-    # MXU accumulates in f32 internally), softmax upcast to f32 for stability.
     scale = head_dim ** -0.5
-    logits = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k)
-    weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
-    out = jnp.einsum("bhnm,bmhd->bnhd", weights, v)
+    if ring_mesh is not None:
+        from ..parallel.ring import ring_self_attention
+        out = ring_self_attention(q, k, v, ring_mesh, scale)
+    else:
+        # Explicit einsum attention: on this TPU backend XLA's fused
+        # jax.nn.dot_product_attention path is ~16x SLOWER than two plain
+        # batched matmuls (measured 126.6ms vs 7.8ms at N=5504), and requesting
+        # f32 logits from the bf16 matmul costs another 12x (135ms vs 11ms —
+        # the f32 output path bypasses the fast MXU route). So: logits in the
+        # input dtype (the MXU accumulates in f32 internally), softmax upcast
+        # to f32 for stability.
+        logits = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k)
+        weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhnm,bmhd->bnhd", weights, v)
     out = out.reshape(B, N, C)
     return nn.linear(p["proj"], out)
 
@@ -82,10 +92,10 @@ def block_init(key, dim: int, num_heads: int, mlp_ratio: float = 4.0,
 
 def block(p, x: jnp.ndarray, num_heads: int,
           rope: Optional[RopeTables] = None,
-          norm_eps: float = 1e-5) -> jnp.ndarray:
+          norm_eps: float = 1e-5, ring_mesh=None) -> jnp.ndarray:
     """Pre-LN transformer block with optional LayerScale."""
     h = attention(p["attn"], nn.layer_norm(p["norm1"], x, eps=norm_eps),
-                  num_heads, rope=rope, norm_eps=norm_eps)
+                  num_heads, rope=rope, norm_eps=norm_eps, ring_mesh=ring_mesh)
     if "ls1" in p:
         h = nn.layer_scale(p["ls1"], h)
     x = x + h

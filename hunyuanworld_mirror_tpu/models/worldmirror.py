@@ -131,7 +131,7 @@ def extract_priors(views: Dict[str, jnp.ndarray], image_hw):
 
 def forward(params, cfg: WorldMirrorConfig, views: Dict[str, jnp.ndarray],
             cond_flags: Sequence[int] = (0, 0, 0),
-            render: bool = True) -> Dict[str, jnp.ndarray]:
+            render: bool = True, ring_mesh=None) -> Dict[str, jnp.ndarray]:
     """Full model forward.
 
     Args:
@@ -141,6 +141,9 @@ def forward(params, cfg: WorldMirrorConfig, views: Dict[str, jnp.ndarray],
       cond_flags: static (pose, depth, rays) switches.
       render: if True (and GS enabled), also rasterize the splats back into
         the input views (rendered_colors/depths/alphas).
+      ring_mesh: optional device Mesh; when its "view" axis is >1, global
+        cross-view attention runs as ring attention over that axis (the
+        long-sequence / multi-host path, BASELINE configs 4-5).
     Returns:
       prediction dict (shapes per SURVEY.md §3.2).
     """
@@ -151,7 +154,8 @@ def forward(params, cfg: WorldMirrorConfig, views: Dict[str, jnp.ndarray],
     priors = extract_priors(views, (H, W)) if use_cond else None
     token_list, patch_start_idx = aggregator.forward(
         params["vgt"], cfg.vgt, imgs, priors=priors,
-        cond_flags=cond_flags if use_cond else (0, 0, 0))
+        cond_flags=cond_flags if use_cond else (0, 0, 0),
+        ring_mesh=ring_mesh)
 
     preds: Dict[str, jnp.ndarray] = {}
 
