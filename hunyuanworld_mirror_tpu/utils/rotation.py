@@ -85,3 +85,53 @@ def rotmat_to_quat(matrix: jnp.ndarray) -> jnp.ndarray:
     # WXYZ -> XYZW (scalar-last), then standardize sign.
     out = out[..., jnp.array([1, 2, 3, 0])]
     return standardize_quaternion(out)
+
+
+def hat(w: jnp.ndarray) -> jnp.ndarray:
+    """Skew-symmetric matrix [w]x of (..., 3) vectors -> (..., 3, 3)."""
+    wx, wy, wz = jnp.moveaxis(w, -1, 0)
+    z = jnp.zeros_like(wx)
+    return jnp.stack([
+        jnp.stack([z, -wz, wy], -1),
+        jnp.stack([wz, z, -wx], -1),
+        jnp.stack([-wy, wx, z], -1),
+    ], -2)
+
+
+def so3_exp(w: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
+    """Rodrigues exponential map (..., 3) -> (..., 3, 3), branch-free near 0.
+
+    Taylor-guards the sin/cos coefficients so gradients stay finite at w=0
+    (needed because BA twists start exactly at zero).
+    """
+    theta2 = jnp.sum(w * w, axis=-1)[..., None, None]
+    # safe values keep the *untaken* where-branch NaN-free so gradients at
+    # w=0 stay finite (BA twists start exactly at zero).
+    t2s = jnp.maximum(theta2, eps)
+    theta = jnp.sqrt(t2s)
+    small = theta2 < eps
+    A = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
+    B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / t2s)
+    K = hat(w)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), K.shape)
+    return eye + A * K + B * (K @ K)
+
+
+def se3_exp(twist: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
+    """SE(3) exponential: twist (..., 6) = (omega, upsilon) -> (..., 4, 4)."""
+    w, u = twist[..., :3], twist[..., 3:]
+    theta2 = jnp.sum(w * w, axis=-1)[..., None, None]
+    t2s = jnp.maximum(theta2, eps)
+    theta = jnp.sqrt(t2s)
+    small = theta2 < eps
+    A = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
+    B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / t2s)
+    C = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0, (1.0 - A) / t2s)
+    K = hat(w)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), K.shape)
+    R = eye + A * K + B * (K @ K)
+    V = eye + B * K + C * (K @ K)
+    t = (V @ u[..., None])
+    top = jnp.concatenate([R, t], axis=-1)
+    bottom = jnp.zeros_like(top[..., :1, :]).at[..., 0, 3].set(1.0)
+    return jnp.concatenate([top, bottom], axis=-2)

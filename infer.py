@@ -38,6 +38,10 @@ def parse_args():
     p.add_argument("--rasterizer", choices=["jax", "pallas"], default="pallas")
     p.add_argument("--video", action="store_true",
                    help="render a slerp-interpolated novel-view video")
+    p.add_argument("--ba", action="store_true",
+                   help="refine predicted cameras with Schur-complement "
+                        "bundle adjustment (refine/ba.py)")
+    p.add_argument("--ba-iters", type=int, default=12)
     return p.parse_args()
 
 
@@ -91,6 +95,18 @@ def main():
     preds = fwd(params, {"img": jnp.asarray(imgs)})
     preds = jax.tree.map(np.asarray, preds)
     print(f"  forward done in {time.time() - t0:.1f}s")
+
+    if args.ba:
+        from hunyuanworld_mirror_tpu.refine import ba as ba_lib
+        t0 = time.time()
+        refined = jax.jit(
+            lambda p: ba_lib.refine_cameras(p, iters=args.ba_iters),
+            static_argnames=())(
+            {k: jnp.asarray(preds[k]) for k in
+             ("pts3d", "pts3d_conf", "depth", "camera_poses", "camera_intrs")})
+        preds["camera_poses"] = np.asarray(refined["camera_poses"])
+        print(f"  BA refinement: cost {float(refined['ba_cost0']):.3e} -> "
+              f"{float(refined['ba_cost']):.3e} in {time.time() - t0:.1f}s")
 
     # ---- exports (mirror reference infer.py:196-360) ----
     pts = preds["pts3d"][0].reshape(-1, 3)
