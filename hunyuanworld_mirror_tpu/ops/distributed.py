@@ -1,0 +1,174 @@
+"""Distributed Gaussian rasterization: splats sharded over the mesh.
+
+TPU-native re-design of gsplat's multi-GPU protocol (reference
+gsplat/rendering.py:360-610 + gsplat/distributed.py:10-258, paper
+arXiv:2406.18533): Gaussians are sharded over ranks and cameras are sharded
+over ranks; every rank projects its Gaussian shard for ALL cameras, then an
+all-to-all exchanges projected splats so each rank owns every splat for ITS
+cameras, which it then tile-rasterizes locally.
+
+Differences from the NCCL original, by design:
+  * static shapes end to end — the reference exchanges variable-length
+    culled splat lists (`all_to_all_tensor_list` with per-rank counts);
+    here culled splats travel as radius-0 rows and the exchange is one
+    dense `lax.all_to_all` per tensor, which XLA schedules on ICI and
+    overlaps with projection math;
+  * the collective is differentiable, so the backward pass (splat gradients
+    flowing from pixels on remote devices) falls out of autodiff instead of
+    the hand-written grad-exchange the CUDA path needs;
+  * the per-rank spawn harness (`gsplat.distributed.cli`) is replaced by the
+    mesh: callers run this under one `jax.jit` on a Mesh and shard_map does
+    the rest.
+
+Layout contract (axis = the mesh axis name, size V):
+  means/quats/scales/opacities/colors : sharded on gaussian axis 0 (N = V*n)
+  viewmats/Ks                         : sharded on camera axis 0 (C = V*c)
+  returns render_colors (C, H, W, D)  : sharded on camera axis 0
+"""
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from . import projection, tiles
+from .rasterizer import rasterize_binned_jax
+
+
+def _project_for_cameras(means, covars, opacities, colors, viewmats, Ks,
+                         width, height, eps2d, near_plane, far_plane,
+                         sh_degree: Optional[int]):
+    """Project the LOCAL gaussian shard for ALL cameras.
+
+    Returns per-camera splat tensors, each (C_total, N_local, ...).
+    """
+    proj = projection.fully_fused_projection(
+        means, covars, viewmats, Ks, width, height, eps2d=eps2d,
+        near_plane=near_plane, far_plane=far_plane)
+
+    C = viewmats.shape[0]
+    if sh_degree is not None:
+        from ..utils import sh as sh_utils
+
+        def sh_one_cam(viewmat):
+            cam_t = -jnp.einsum("ij,i->j", viewmat[:3, :3], viewmat[:3, 3],
+                                precision="highest")
+            dirs = means - cam_t[None, :]
+            dirs = dirs / jnp.maximum(
+                jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-8)
+            c = sh_utils.eval_sh(sh_degree, jnp.swapaxes(colors, -1, -2), dirs)
+            return jnp.clip(c + 0.5, 0.0, None)
+
+        col = jax.vmap(sh_one_cam)(viewmats)  # (C, N_local, 3)
+    else:
+        col = jnp.broadcast_to(colors[None], (C,) + colors.shape)
+
+    op = jnp.broadcast_to(opacities[None], (C,) + opacities.shape)
+    return proj.means2d, proj.conics, proj.depths, proj.radii, col, op
+
+
+def _render_local_cameras(m2d, con, dep, rad, col, op, width, height,
+                          tile_size, render_mode, max_per_tile,
+                          max_tiles_per_gauss, impl):
+    """Tile-bin + blend each LOCAL camera over ALL gaussians.
+
+    All inputs (C_local, N_total, ...)."""
+    tw = (width + tile_size - 1) // tile_size
+    th = (height + tile_size - 1) // tile_size
+
+    def per_cam(args):
+        m2d, con, dep, rad, col, op = args
+        if render_mode in ("RGB+D", "RGB+ED"):
+            col = jnp.concatenate([col, dep[..., None]], -1)
+        elif render_mode in ("D", "ED"):
+            col = dep[..., None]
+        bins = tiles.bin_gaussians(m2d, rad, dep, tile_size, tw, th,
+                                   max_tiles_per_gauss, max_per_tile)
+        if impl == "pallas":
+            from .rasterizer_pallas import rasterize_binned_pallas
+            return rasterize_binned_pallas(m2d, con, col, op, bins,
+                                           width, height, tile_size)
+        return rasterize_binned_jax(m2d, con, col, op, bins,
+                                    width, height, tile_size)
+
+    out, alpha = lax.map(per_cam, (m2d, con, dep, rad, col, op))
+    if render_mode in ("ED", "RGB+ED"):
+        out = jnp.concatenate(
+            [out[..., :-1], out[..., -1:] / jnp.maximum(alpha, 1e-10)], -1)
+    return out, alpha
+
+
+def rasterize_distributed(
+    means: jnp.ndarray,      # (N, 3) world, sharded over `axis`
+    quats: jnp.ndarray,      # (N, 4) xyzw
+    scales: jnp.ndarray,     # (N, 3)
+    opacities: jnp.ndarray,  # (N,)
+    colors: jnp.ndarray,     # (N, D), or (N, K_sh, 3) with sh_degree
+    viewmats: jnp.ndarray,   # (C, 4, 4) world->cam, sharded over `axis`
+    Ks: jnp.ndarray,         # (C, 3, 3)
+    width: int, height: int,
+    mesh: Mesh, axis: str = "view",
+    tile_size: int = 16,
+    render_mode: str = "RGB+ED",
+    eps2d: float = 0.3,
+    near_plane: float = 0.01,
+    far_plane: float = 1e10,
+    max_per_tile: int = 1024,
+    max_tiles_per_gauss: int = 9,
+    impl: str = "jax",
+    sh_degree: Optional[int] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Camera-and-gaussian-sharded rasterization over a mesh axis.
+
+    N and C must both be divisible by the axis size. Returns
+    (render_colors (C, H, W, D[+1]), render_alphas (C, H, W, 1)) with the
+    camera axis sharded over `axis` (use jax.device_get or further sharded
+    consumers downstream).
+    """
+    V = mesh.shape[axis]
+    if V == 1:
+        from .rasterizer import rasterize
+        out, alpha, _ = rasterize(
+            means, quats, scales, opacities, colors, viewmats, Ks,
+            width, height, tile_size=tile_size, render_mode=render_mode,
+            eps2d=eps2d, near_plane=near_plane, far_plane=far_plane,
+            max_per_tile=max_per_tile, max_tiles_per_gauss=max_tiles_per_gauss,
+            impl=impl)
+        return out, alpha
+
+    covars = projection.quat_scale_to_covar(quats, scales)
+
+    def local(means, covars, opacities, colors, viewmats, Ks):
+        # 1) cameras to everyone (reference rendering.py:360-384)
+        all_view = lax.all_gather(viewmats, axis, tiled=True)
+        all_K = lax.all_gather(Ks, axis, tiled=True)
+        # 2) project local shard for every camera (rendering.py:406-427)
+        m2d, con, dep, rad, col, op = _project_for_cameras(
+            means, covars, opacities, colors, all_view, all_K,
+            width, height, eps2d, near_plane, far_plane, sh_degree)
+        # 3) exchange: camera axis scatters, gaussian axis gathers
+        #    (rendering.py:530-610's all_to_all, dense + differentiable)
+        m2d, con, dep, rad, col, op = jax.tree.map(
+            lambda x: lax.all_to_all(x, axis, split_axis=0, concat_axis=1,
+                                     tiled=True),
+            (m2d, con, dep, rad, col, op))
+        # 4) local tile rasterization of MY cameras over ALL splats
+        return _render_local_cameras(
+            m2d, con, dep, rad, col, op, width, height, tile_size,
+            render_mode, max_per_tile, max_tiles_per_gauss, impl)
+
+    gspec = P(axis)
+    inner = shard_map(
+        local, mesh=mesh,
+        in_specs=(gspec, gspec, gspec, gspec, gspec, gspec),
+        out_specs=(gspec, gspec),
+        check_vma=False)
+    return inner(means, covars, opacities, colors, viewmats, Ks)

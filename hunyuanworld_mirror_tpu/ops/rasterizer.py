@@ -186,10 +186,10 @@ def rasterize(
             dirs = means - cam_t[None, :]
             dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-8)
             deg = int(colors.shape[-2] ** 0.5) - 1
-            col = sh_utils.eval_sh(deg, jnp.swapaxes(colors, -1, -2),
-                                   dirs[:, None, :])
+            # eval_sh broadcasts dirs (..., 3) against coeffs (..., C, K):
+            # pass dirs as (N, 3) so x/y/z are (N, 1) vs sh[..., i] (N, C).
+            col = sh_utils.eval_sh(deg, jnp.swapaxes(colors, -1, -2), dirs)
             col = jnp.clip(col + 0.5, 0.0, None)
-            col = jnp.broadcast_to(col, (means.shape[0], colors.shape[-1]))
 
         if render_mode in ("RGB+D", "RGB+ED"):
             col = jnp.concatenate([col, dep[..., None]], axis=-1)
