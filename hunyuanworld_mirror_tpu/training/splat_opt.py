@@ -45,6 +45,14 @@ class SplatOptConfig:
     tile_size: int = 16
     max_per_tile: int = 4096
     rasterizer_impl: str = "jax"
+    # strategy: "default" (grad-threshold grow/prune, gsplat DefaultStrategy)
+    # or "mcmc" (teleport + 5%-growth + position noise, gsplat MCMCStrategy /
+    # arXiv:2404.09591) — see training/mcmc.py.
+    strategy: str = "default"
+    noise_lr: float = 5e5          # MCMC noise scale (reference mcmc.py:50)
+    min_opacity: float = 0.005
+    # visibility-masked Adam (gsplat SelectiveAdam / AdamCUDA.cu)
+    use_selective_adam: bool = False
 
 
 def _raw_from_splats(splats: Dict[str, jnp.ndarray], capacity: int) -> Dict:
@@ -78,13 +86,17 @@ def _activate(raw: Dict) -> Tuple[jnp.ndarray, ...]:
 
 
 def make_optimizer(cfg: SplatOptConfig, scene_scale: float = 1.0):
+    if cfg.use_selective_adam:
+        from .mcmc import selective_adam as make_adam
+    else:
+        make_adam = optax.adam
     return optax.multi_transform(
         {
-            "means": optax.adam(cfg.lr_means * scene_scale),
-            "log_scales": optax.adam(cfg.lr_scales),
-            "quats": optax.adam(cfg.lr_quats),
-            "opacity_logits": optax.adam(cfg.lr_opacities),
-            "sh": optax.adam(cfg.lr_sh),
+            "means": make_adam(cfg.lr_means * scene_scale),
+            "log_scales": make_adam(cfg.lr_scales),
+            "quats": make_adam(cfg.lr_quats),
+            "opacity_logits": make_adam(cfg.lr_opacities),
+            "sh": make_adam(cfg.lr_sh),
             "alive": optax.set_to_zero(),
         },
         {k: k for k in ("means", "log_scales", "quats", "opacity_logits",
@@ -111,6 +123,15 @@ def make_train_step(cfg: SplatOptConfig, tx, width: int, height: int):
             return loss, meta
 
         (loss, meta), grads = jax.value_and_grad(loss_fn, has_aux=True)(raw)
+        # Dead (padded) slots sit at the origin where the perspective divide
+        # is singular — their grads are NaN by construction. They are not
+        # parameters; zero their rows so the optimizer state stays clean
+        # (selective Adam would otherwise mark NaN rows as "visible").
+        alive_rows = raw["alive"] > 0.5
+        grads = jax.tree.map(
+            lambda g: jnp.where(
+                alive_rows.reshape((-1,) + (1,) * (g.ndim - 1)), g, 0.0),
+            grads)
         # track per-splat screen-space gradient magnitude for densification
         g2d = jnp.linalg.norm(grads["means"], axis=-1)
         updates, opt_state = tx.update(grads, opt_state, raw)
@@ -204,7 +225,16 @@ def optimize_splats(
     tx = make_optimizer(cfg, scene_scale)
     opt_state = tx.init(raw)
     step_fn = make_train_step(cfg, tx, W, H)
-    refine_fn = jax.jit(lambda r, g, k: refine(r, g, cfg, k))
+    if cfg.strategy == "mcmc":
+        from . import mcmc as mcmc_lib
+        refine_fn = jax.jit(lambda r, g, k: mcmc_lib.mcmc_refine(
+            r, k, min_opacity=cfg.min_opacity))
+        noise_scaler = cfg.lr_means * scene_scale * cfg.noise_lr
+        noise_fn = jax.jit(lambda r, k: mcmc_lib.inject_position_noise(
+            r, k, noise_scaler))
+    else:
+        refine_fn = jax.jit(lambda r, g, k: refine(r, g, cfg, k))
+        noise_fn = None
 
     viewmats = jnp.asarray(cam_utils.se3_inverse(jnp.asarray(c2w)))
     Ks_j = jnp.asarray(Ks)
@@ -221,6 +251,11 @@ def optimize_splats(
             raw = refine_fn(raw, grad_accum, sub)
             opt_state = tx.init(raw)  # reset moments after topology change
             grad_accum = jnp.zeros((capacity,))
+        if noise_fn is not None:
+            # MCMC: exploration noise after every optimizer step
+            # (reference mcmc.py:141-145)
+            key, sub = jax.random.split(key)
+            raw = noise_fn(raw, sub)
         if (it + 1) % 100 == 0:
             log_fn(f"splat-opt iter {it + 1}: loss {float(loss):.4f} "
                    f"alive {int(jnp.sum(raw['alive'] > 0.5))}")

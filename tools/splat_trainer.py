@@ -30,6 +30,11 @@ def main():
     p.add_argument("--max-per-tile", type=int, default=4096,
                    help="per-tile splat cap (lower on CPU: XLA's grad compile "
                         "time grows superlinearly with it there)")
+    p.add_argument("--strategy", choices=["default", "mcmc"], default="default",
+                   help="densification: gsplat DefaultStrategy or MCMC "
+                        "(teleport + growth + position noise)")
+    p.add_argument("--selective-adam", action="store_true",
+                   help="visibility-masked Adam (gsplat SelectiveAdam)")
     args = p.parse_args()
 
     from hunyuanworld_mirror_tpu.io import images as io_images
@@ -58,7 +63,9 @@ def main():
 
     cfg = splat_opt.SplatOptConfig(iters=args.iters,
                                    rasterizer_impl=args.rasterizer,
-                                   max_per_tile=args.max_per_tile)
+                                   max_per_tile=args.max_per_tile,
+                                   strategy=args.strategy,
+                                   use_selective_adam=args.selective_adam)
     out = splat_opt.optimize_splats(splats, imgs, c2w, Ks, cfg)
     print(f"optimized: {len(out['means'])} splats alive")
 
