@@ -125,3 +125,31 @@ def load_inputs(path: str, fps: float = 1.0, target_size: int = 518,
             frame_paths.extend(glob.glob(os.path.join(path, ext)))
         frame_paths = sorted(set(frame_paths))
     return prepare_images(frame_paths, target_size, strategy)
+
+
+def crop_with_intrinsics(image: np.ndarray, K: np.ndarray,
+                         crop_box) -> "tuple[np.ndarray, np.ndarray]":
+    """Crop (y0, x0, y1, x1) and shift the principal point accordingly
+    (reference src/utils/cropping.py:108-387, DUSt3R-style — utility only)."""
+    y0, x0, y1, x1 = crop_box
+    out = image[y0:y1, x0:x1]
+    K2 = np.array(K, np.float64).copy()
+    K2[0, 2] -= x0
+    K2[1, 2] -= y0
+    return out, K2.astype(K.dtype if hasattr(K, "dtype") else np.float32)
+
+
+def rescale_with_intrinsics(image: np.ndarray, K: np.ndarray,
+                            new_hw) -> "tuple[np.ndarray, np.ndarray]":
+    """Resize to (H', W') and scale focal lengths / principal point
+    (reference cropping.py rescale_image_and_intrinsics semantics)."""
+    import cv2
+
+    H, W = image.shape[:2]
+    nh, nw = new_hw
+    out = cv2.resize(image, (nw, nh), interpolation=cv2.INTER_AREA
+                     if nw < W else cv2.INTER_CUBIC)
+    K2 = np.array(K, np.float64).copy()
+    K2[0] *= nw / W
+    K2[1] *= nh / H
+    return out, K2.astype(np.float32)

@@ -131,16 +131,35 @@ def save_video(path: str, frames: np.ndarray, fps: int = 30) -> str:
 def render_interpolated_video(predictions: Dict, width: int, height: int,
                               out_path: str, batch_index: int = 0,
                               steps_per_pair: int = 15, fps: int = 30,
-                              impl: str = "jax") -> str:
+                              impl: str = "jax",
+                              effect: str = None) -> str:
     """End-to-end: predicted splats + cameras -> smooth novel-view mp4
-    (RGB top, turbo depth bottom, reference render_utils.py:121-376)."""
+    (RGB top, turbo depth bottom, reference render_utils.py:121-376).
+
+    `effect` ("twister" | "rain" | "spread") animates the splats over the
+    trajectory via io/effects.py (reference gs_effects.py)."""
     c2w = np.asarray(predictions["camera_poses"][batch_index])
     Ks = np.asarray(predictions["camera_intrs"][batch_index])
     splats = {k: np.asarray(v[batch_index]) for k, v in predictions["splats"].items()
               if k in ("means", "quats", "scales", "opacities", "sh")}
 
     traj, traj_K = interpolate_trajectory(c2w, Ks, steps_per_pair)
-    frames, depths = render_trajectory(splats, traj, traj_K, width, height, impl=impl)
+    if effect:
+        from . import effects as fx
+        n = len(traj)
+        frames_l, depths_l = [], []
+        rng = np.random.default_rng(0)
+        for i in range(n):
+            t = 10.0 * i / max(n - 1, 1)
+            sp = fx.apply_effect(splats, t, effect, rng)
+            f, d = render_trajectory(sp, traj[i:i + 1], traj_K[i:i + 1],
+                                     width, height, impl=impl)
+            frames_l.append(f[0])
+            depths_l.append(d[0])
+        frames, depths = np.stack(frames_l), np.stack(depths_l)
+    else:
+        frames, depths = render_trajectory(splats, traj, traj_K, width, height,
+                                           impl=impl)
 
     d = depths - depths.min()
     d = d / (d.max() + 1e-9)

@@ -42,6 +42,14 @@ def parse_args():
                    help="refine predicted cameras with Schur-complement "
                         "bundle adjustment (refine/ba.py)")
     p.add_argument("--ba-iters", type=int, default=12)
+    p.add_argument("--glb", action="store_true",
+                   help="export a GLB scene (point cloud + camera frusta)")
+    p.add_argument("--glb-mesh", action="store_true",
+                   help="GLB as a triangulated pointmap mesh instead of points")
+    p.add_argument("--mask-sky", action="store_true",
+                   help="drop sky pixels from GLB/PLY exports")
+    p.add_argument("--effect", choices=["twister", "rain", "spread"],
+                   default=None, help="animated splat effect for --video")
     return p.parse_args()
 
 
@@ -139,11 +147,19 @@ def main():
         io_ply.gs_ply_to_splat(out_dir / "gaussians.ply", out_dir / "gaussians.splat")
         print(f"  wrote gaussians.ply/.splat ({int(alive.sum())} splats)")
 
+    if args.glb:
+        from hunyuanworld_mirror_tpu.io import scene as scene_lib
+        gp = scene_lib.predictions_to_glb(
+            {**preds, "images": imgs}, str(out_dir / "scene.glb"),
+            conf_percent=args.conf_percent, mask_sky=args.mask_sky,
+            as_mesh=args.glb_mesh)
+        print(f"  wrote GLB scene -> {gp}")
+
     if args.video and "splats" in preds:
         from hunyuanworld_mirror_tpu.io import render as render_lib
         vp = render_lib.render_interpolated_video(
             preds, W, H, str(out_dir / "rendered.mp4"),
-            impl=args.rasterizer)
+            impl=args.rasterizer, effect=args.effect)
         print(f"  wrote novel-view video -> {vp}")
 
     # COLMAP export: depth-unprojected points at subsampled pixels
