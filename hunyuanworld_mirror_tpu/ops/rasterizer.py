@@ -221,3 +221,86 @@ def rasterize(
             # nonzero means max_per_tile / max_tiles_per_gauss need raising
             "n_dropped": n_dropped}
     return render_colors, render_alphas, meta
+
+
+def _tile_weights(means2d, conics, opacities, live, px_xy):
+    """Per-(gaussian, pixel) blend weights for one tile — the w of
+    _blend_tile without the color contraction. (K, P)."""
+    dx = px_xy[None, :, 0] - means2d[:, 0:1]
+    dy = px_xy[None, :, 1] - means2d[:, 1:2]
+    sigma = (0.5 * (conics[:, 0:1] * dx * dx + conics[:, 2:3] * dy * dy)
+             + conics[:, 1:2] * dx * dy)
+    alpha = jnp.minimum(0.999, opacities[:, None] * jnp.exp(-sigma))
+    keep = (sigma >= 0) & (alpha >= ALPHA_THRESHOLD) & live[:, None]
+    alpha = jnp.where(keep, alpha, 0.0)
+    lg = jnp.log1p(-alpha)
+    T_before = jnp.exp(jnp.cumsum(lg, axis=0) - lg)
+    tripped = (T_before * (1.0 - alpha) <= T_EPS) & (alpha > 0)
+    stopped = jnp.cumsum(tripped, axis=0) > 0
+    return jnp.where(stopped, 0.0, alpha * T_before)
+
+
+@partial(jax.jit, static_argnames=(
+    "width", "height", "k", "tile_size", "max_per_tile",
+    "max_tiles_per_gauss", "quat_order"))
+def rasterize_to_indices(
+    means: jnp.ndarray, quats: jnp.ndarray, scales: jnp.ndarray,
+    opacities: jnp.ndarray, viewmats: jnp.ndarray, Ks: jnp.ndarray,
+    width: int, height: int, k: int = 8,
+    tile_size: int = 16, eps2d: float = 0.3,
+    near_plane: float = 0.01, far_plane: float = 1e10,
+    max_per_tile: int = 1024, max_tiles_per_gauss: int = 9,
+    quat_order: str = "xyzw",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-pixel gaussian-index enumeration (gsplat rasterize_to_indices_*,
+    reference csrc/RasterizeToIndices3DGS.cu — used for pruning/analysis).
+
+    Static-shape reformulation: instead of variable-length (gaussian, pixel)
+    pair lists, returns for every pixel its top-`k` contributing gaussians by
+    blend weight alpha*T. Returns (ids (C, H, W, k) int32 with -1 padding,
+    weights (C, H, W, k) f32).
+    """
+    if quat_order == "wxyz":
+        quats = quats[..., jnp.array([1, 2, 3, 0])]
+    covars = projection.quat_scale_to_covar(quats, scales)
+    tw = (width + tile_size - 1) // tile_size
+    th = (height + tile_size - 1) // tile_size
+    P = tile_size * tile_size
+
+    py, px = jnp.meshgrid(jnp.arange(tile_size), jnp.arange(tile_size),
+                          indexing="ij")
+    local_xy = jnp.stack([px.reshape(-1), py.reshape(-1)], -1).astype(jnp.float32) + 0.5
+
+    def per_camera(viewmat, K):
+        proj = projection.fully_fused_projection(
+            means, covars, viewmat[None], K[None], width, height, eps2d=eps2d,
+            near_plane=near_plane, far_plane=far_plane)
+        m2d, con, dep, rad = (proj.means2d[0], proj.conics[0],
+                              proj.depths[0], proj.radii[0])
+        bins = tiles.bin_gaussians(m2d, rad, dep, tile_size, tw, th,
+                                   max_tiles_per_gauss, max_per_tile)
+
+        def tile_fn(tile_idx, tile_gauss, tile_count):
+            origin = jnp.stack([(tile_idx % tw) * tile_size,
+                                (tile_idx // tw) * tile_size]).astype(jnp.float32)
+            live = jnp.arange(bins.gauss_ids.shape[1], dtype=jnp.int32) < tile_count
+            w = _tile_weights(m2d[tile_gauss], con[tile_gauss],
+                              opacities[tile_gauss], live,
+                              local_xy + origin[None])         # (K_bin, P)
+            vals, idx = lax.top_k(w.T, k)                      # (P, k)
+            ids = jnp.where(vals > 0, tile_gauss[idx], -1)
+            return ids, vals
+
+        tile_index = jnp.arange(tw * th, dtype=jnp.int32)
+        ids_t, w_t = lax.map(
+            lambda args: tile_fn(*args),
+            (tile_index, bins.gauss_ids, bins.counts))
+        ids_t = ids_t.reshape(th, tw, tile_size, tile_size, k)
+        w_t = w_t.reshape(th, tw, tile_size, tile_size, k)
+        ids_img = ids_t.transpose(0, 2, 1, 3, 4).reshape(
+            th * tile_size, tw * tile_size, k)[:height, :width]
+        w_img = w_t.transpose(0, 2, 1, 3, 4).reshape(
+            th * tile_size, tw * tile_size, k)[:height, :width]
+        return ids_img, w_img
+
+    return lax.map(lambda args: per_camera(*args), (viewmats, Ks))
