@@ -116,7 +116,10 @@ class ShardedLoader:
     def __init__(self, shards, batch_size: int = 20, shuffle_buffer: int = 2000,
                  seed: int = 0, decode_fn=decode_sope_sample,
                  worker_index: int = 0, num_workers: int = 1,
-                 prefetch: int = 4, drop_keys: Sequence[str] = ("meta", "__key__")):
+                 prefetch: int = 4, drop_keys: Sequence[str] = ("meta", "__key__"),
+                 use_native: str = "auto", native_threads: int = 3):
+        """use_native: "auto" uses the C++ tar streamer (native/tar_reader.cpp)
+        when libwmtar.so is built, "never"/"always" force a path."""
         self.shards = expand_shards(shards)
         self.batch_size = batch_size
         self.shuffle_buffer = shuffle_buffer
@@ -126,6 +129,23 @@ class ShardedLoader:
         self.num_workers = num_workers
         self.prefetch = prefetch
         self.drop_keys = set(drop_keys)
+        self.native_threads = native_threads
+        if use_native == "always":
+            self.use_native = True
+        elif use_native == "never":
+            self.use_native = False
+        else:
+            from . import native_loader
+            self.use_native = native_loader.available()
+
+    def _raw_samples(self, shards: List[str]) -> Iterator[Dict[str, bytes]]:
+        if self.use_native:
+            from . import native_loader
+            yield from native_loader.iter_shards_native(
+                shards, n_threads=self.native_threads)
+        else:
+            for shard in shards:
+                yield from iter_tar_samples(shard)
 
     def _samples(self, epoch: int) -> Iterator[Dict]:
         rng = random.Random(self.seed + epoch)
@@ -133,15 +153,14 @@ class ShardedLoader:
         rng.shuffle(shards)
         shards = shards[self.worker_index::self.num_workers]
         buf: List[Dict] = []
-        for shard in shards:
-            for raw in iter_tar_samples(shard):
-                dec = self.decode_fn(raw)
-                if dec is None:
-                    continue
-                buf.append(dec)
-                if len(buf) >= self.shuffle_buffer:
-                    idx = rng.randrange(len(buf))
-                    yield buf.pop(idx)
+        for raw in self._raw_samples(shards):
+            dec = self.decode_fn(raw)
+            if dec is None:
+                continue
+            buf.append(dec)
+            if len(buf) >= self.shuffle_buffer:
+                idx = rng.randrange(len(buf))
+                yield buf.pop(idx)
         rng.shuffle(buf)
         yield from buf
 
