@@ -1,0 +1,162 @@
+"""Distorted camera models + unscented-transform projection.
+
+Behavioral parity target: reference submodules/gsplat/gsplat/cuda/csrc/
+ProjectionUT3DGSFused.cu (310 LoC) + Cameras.cuh (1341 LoC) — UT-based splat
+projection for cameras where the EWA Jacobian linearization breaks down:
+OpenCV-style radial/tangential pinhole distortion and equidistant fisheye.
+
+Method: the 3D Gaussian is represented by 7 sigma points (mean +- scaled
+covariance square-root columns); each point runs through the EXACT nonlinear
+camera (world -> cam -> model-specific pixel mapping), and the projected
+mean/covariance are recovered from the UT weights (alpha=0.1, beta=2,
+kappa=0 — the standard Merwe set gsplat uses). The dilated conic / radius /
+culling tail is shared with the EWA path (projection.finish_projection), so
+downstream tile binning and blending are identical: fisheye/distorted
+rendering reuses the whole rasterizer stack.
+"""
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .projection import Projected, finish_projection, quat_scale_to_covar
+
+PINHOLE = "pinhole"
+FISHEYE = "fisheye"
+
+
+def distort_opencv(xy: jnp.ndarray, radial: jnp.ndarray,
+                   tangential: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """OpenCV pinhole distortion on normalized coords (..., 2).
+
+    radial (..., up to 6): k1..k6 (rational model when k4..k6 given);
+    tangential (..., 2): p1, p2.
+    """
+    k = jnp.zeros(xy.shape[:-1] + (6,), xy.dtype)
+    k = k.at[..., :radial.shape[-1]].set(radial)
+    x, y = xy[..., 0], xy[..., 1]
+    r2 = x * x + y * y
+    r4, r6 = r2 * r2, r2 * r2 * r2
+    num = 1.0 + k[..., 0] * r2 + k[..., 1] * r4 + k[..., 2] * r6
+    den = 1.0 + k[..., 3] * r2 + k[..., 4] * r4 + k[..., 5] * r6
+    scale = num / den
+    xd = x * scale
+    yd = y * scale
+    if tangential is not None:
+        p1, p2 = tangential[..., 0], tangential[..., 1]
+        xd = xd + 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+        yd = yd + p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
+    return jnp.stack([xd, yd], -1)
+
+
+def project_fisheye(means_c: jnp.ndarray, K: jnp.ndarray,
+                    radial: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Equidistant fisheye: theta*(1 + k1 th^2 + k2 th^4 + k3 th^6 + k4 th^8)
+    along the radial direction (Kannala-Brandt / OpenCV fisheye)."""
+    x, y, z = means_c[..., 0], means_c[..., 1], means_c[..., 2]
+    r = jnp.sqrt(x * x + y * y)
+    theta = jnp.arctan2(r, z)
+    th2 = theta * theta
+    d = theta
+    if radial is not None:
+        k = jnp.zeros(means_c.shape[:-1] + (4,), means_c.dtype)
+        k = k.at[..., :radial.shape[-1]].set(radial)
+        d = theta * (1.0 + k[..., 0] * th2 + k[..., 1] * th2 ** 2
+                     + k[..., 2] * th2 ** 3 + k[..., 3] * th2 ** 4)
+    scale = jnp.where(r > 1e-8, d / jnp.maximum(r, 1e-8), 1.0 / jnp.maximum(z, 1e-8))
+    u = K[..., 0, 0] * x * scale + K[..., 0, 2]
+    v = K[..., 1, 1] * y * scale + K[..., 1, 2]
+    return jnp.stack([u, v], -1)
+
+
+def camera_project(means_c: jnp.ndarray, K: jnp.ndarray,
+                   camera_model: str = PINHOLE,
+                   radial: Optional[jnp.ndarray] = None,
+                   tangential: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Camera-frame points (..., 3) -> pixels (..., 2) under the model."""
+    if camera_model == FISHEYE:
+        return project_fisheye(means_c, K, radial)
+    z = jnp.maximum(means_c[..., 2], 1e-8)
+    xy = means_c[..., :2] / z[..., None]
+    if radial is not None or tangential is not None:
+        xy = distort_opencv(
+            xy,
+            radial if radial is not None else jnp.zeros(xy.shape[:-1] + (1,)),
+            tangential)
+    u = K[..., 0, 0] * xy[..., 0] + K[..., 0, 2]
+    v = K[..., 1, 1] * xy[..., 1] + K[..., 1, 2]
+    return jnp.stack([u, v], -1)
+
+
+def _sigma_points(means: jnp.ndarray, covars: jnp.ndarray,
+                  alpha: float = 0.1, beta: float = 2.0, kappa: float = 0.0):
+    """Merwe sigma points for (..., 3) gaussians.
+
+    Returns (points (..., 7, 3), w_mean (7,), w_cov (7,))."""
+    n = 3
+    lam = alpha * alpha * (n + kappa) - n
+    # covariance square root; jitter keeps flat splats (tiny s_z) factorable
+    L = jnp.linalg.cholesky(covars + 1e-10 * jnp.eye(3, dtype=means.dtype))
+    scaled = jnp.sqrt(n + lam) * L                       # columns are offsets
+    offsets = jnp.concatenate([
+        jnp.zeros_like(means)[..., None, :],
+        jnp.swapaxes(scaled, -1, -2),
+        -jnp.swapaxes(scaled, -1, -2),
+    ], axis=-2)                                          # (..., 7, 3)
+    pts = means[..., None, :] + offsets
+    w_m = jnp.full((2 * n + 1,), 1.0 / (2 * (n + lam)))
+    w_m = w_m.at[0].set(lam / (n + lam))
+    w_c = w_m.at[0].set(lam / (n + lam) + 1.0 - alpha * alpha + beta)
+    return pts, w_m, w_c
+
+
+def fully_fused_projection_ut(
+    means: jnp.ndarray, covars: jnp.ndarray, viewmats: jnp.ndarray,
+    Ks: jnp.ndarray, width: int, height: int,
+    camera_model: str = PINHOLE,
+    radial_coeffs: Optional[jnp.ndarray] = None,     # (C, k) per camera
+    tangential_coeffs: Optional[jnp.ndarray] = None,  # (C, 2)
+    eps2d: float = 0.3, near_plane: float = 0.01, far_plane: float = 1e10,
+    calc_compensations: bool = False,
+) -> Projected:
+    """UT projection of N world gaussians into C (possibly distorted) cameras.
+
+    Same output contract as projection.fully_fused_projection, so the result
+    feeds the standard tile binning + blending unchanged.
+    """
+    R = viewmats[:, :3, :3]
+    t = viewmats[:, :3, 3]
+    pts_w, w_m, w_c = _sigma_points(means, covars)       # (N, 7, 3)
+
+    def per_camera(Rc, tc, K, rad, tang):
+        pts_c = jnp.einsum("ij,nsj->nsi", Rc, pts_w) + tc          # (N, 7, 3)
+        uv = camera_project(pts_c, K, camera_model,
+                            None if rad is None else rad,
+                            None if tang is None else tang)         # (N, 7, 2)
+        mean2d = jnp.einsum("s,nsi->ni", w_m, uv)
+        d = uv - mean2d[:, None, :]
+        cov2d = jnp.einsum("s,nsi,nsj->nij", w_c, d, d)
+        depth = jnp.einsum("ij,nj->ni", Rc, means)[..., 2] + tc[2]
+        return mean2d, cov2d, depth
+
+    rad_in = radial_coeffs if radial_coeffs is not None else None
+    tang_in = tangential_coeffs if tangential_coeffs is not None else None
+    if rad_in is None and tang_in is None:
+        m2d, cov2d, dep = jax.vmap(
+            lambda Rc, tc, K: per_camera(Rc, tc, K, None, None))(R, t, Ks)
+    elif tang_in is None:
+        m2d, cov2d, dep = jax.vmap(
+            lambda Rc, tc, K, rd: per_camera(Rc, tc, K, rd, None))(
+            R, t, Ks, rad_in)
+    else:
+        rad_arg = rad_in if rad_in is not None else jnp.zeros((R.shape[0], 1))
+        m2d, cov2d, dep = jax.vmap(per_camera)(R, t, Ks, rad_arg, tang_in)
+
+    # fisheye sees behind-the-lens points; keep the frontal hemisphere only
+    extra = None
+    if camera_model == FISHEYE:
+        extra = dep > 0
+    return finish_projection(m2d, cov2d, dep, width, height, eps2d,
+                             near_plane, far_plane, calc_compensations,
+                             extra_valid=extra)

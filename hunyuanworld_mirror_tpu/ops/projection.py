@@ -80,19 +80,19 @@ def persp_proj(means_c: jnp.ndarray, covars_c: jnp.ndarray, Ks: jnp.ndarray,
     return means2d, cov2d
 
 
-def fully_fused_projection(
-    means: jnp.ndarray, covars: jnp.ndarray, viewmats: jnp.ndarray,
-    Ks: jnp.ndarray, width: int, height: int,
-    eps2d: float = 0.3, near_plane: float = 0.01, far_plane: float = 1e10,
-    calc_compensations: bool = False,
-) -> Projected:
-    """Project N world-space gaussians into C cameras (dense [C, N] layout)."""
-    means_c, covars_c = world_to_cam(means, covars, viewmats)
-    means2d, covars2d = persp_proj(means_c, covars_c, Ks, width, height)
+def finish_projection(means2d: jnp.ndarray, covars2d: jnp.ndarray,
+                      depths: jnp.ndarray, width: int, height: int,
+                      eps2d: float = 0.3, near_plane: float = 0.01,
+                      far_plane: float = 1e10,
+                      calc_compensations: bool = False,
+                      extra_valid: Optional[jnp.ndarray] = None) -> Projected:
+    """Shared tail: 2D covariance -> (dilated conic, radii, culling).
 
+    Used by both the EWA path below and the unscented-transform path
+    (ops/cameras.py) so the two projections agree on dilation/culling."""
     det_orig = (covars2d[..., 0, 0] * covars2d[..., 1, 1]
                 - covars2d[..., 0, 1] * covars2d[..., 1, 0])
-    covars2d = covars2d + jnp.eye(2, dtype=means.dtype) * eps2d
+    covars2d = covars2d + jnp.eye(2, dtype=means2d.dtype) * eps2d
     det = (covars2d[..., 0, 0] * covars2d[..., 1, 1]
            - covars2d[..., 0, 1] * covars2d[..., 1, 0])
     det = jnp.maximum(det, 1e-10)
@@ -107,17 +107,30 @@ def fully_fused_projection(
         covars2d[..., 0, 0] / det,
     ], axis=-1)
 
-    depths = means_c[..., 2]
-
     radius_x = jnp.ceil(3.33 * jnp.sqrt(covars2d[..., 0, 0]))
     radius_y = jnp.ceil(3.33 * jnp.sqrt(covars2d[..., 1, 1]))
     radius = jnp.stack([radius_x, radius_y], axis=-1)
 
     valid = (det > 0) & (depths > near_plane) & (depths < far_plane)
+    if extra_valid is not None:
+        valid = valid & extra_valid
     inside = ((means2d[..., 0] + radius[..., 0] > 0)
               & (means2d[..., 0] - radius[..., 0] < width)
               & (means2d[..., 1] + radius[..., 1] > 0)
               & (means2d[..., 1] - radius[..., 1] < height))
     radius = jnp.where((valid & inside)[..., None], radius, 0.0)
+    return Projected(radius.astype(jnp.int32), means2d, depths, conics,
+                     compensations)
 
-    return Projected(radius.astype(jnp.int32), means2d, depths, conics, compensations)
+
+def fully_fused_projection(
+    means: jnp.ndarray, covars: jnp.ndarray, viewmats: jnp.ndarray,
+    Ks: jnp.ndarray, width: int, height: int,
+    eps2d: float = 0.3, near_plane: float = 0.01, far_plane: float = 1e10,
+    calc_compensations: bool = False,
+) -> Projected:
+    """Project N world-space gaussians into C cameras (dense [C, N] layout)."""
+    means_c, covars_c = world_to_cam(means, covars, viewmats)
+    means2d, covars2d = persp_proj(means_c, covars_c, Ks, width, height)
+    return finish_projection(means2d, covars2d, means_c[..., 2], width, height,
+                             eps2d, near_plane, far_plane, calc_compensations)

@@ -123,7 +123,8 @@ def rasterize_binned_jax(
 
 @partial(jax.jit, static_argnames=(
     "width", "height", "tile_size", "render_mode", "max_per_tile",
-    "max_tiles_per_gauss", "impl", "calc_compensations", "quat_order"))
+    "max_tiles_per_gauss", "impl", "calc_compensations", "quat_order",
+    "camera_model"))
 def rasterize(
     means: jnp.ndarray,      # (N, 3) world-space
     quats: jnp.ndarray,      # (N, 4) — `quat_order` selects XYZW (framework
@@ -144,8 +145,15 @@ def rasterize(
     impl: str = "jax",
     calc_compensations: bool = False,
     quat_order: str = "xyzw",
+    camera_model: str = "pinhole",
+    radial_coeffs: Optional[jnp.ndarray] = None,      # (C, k) distortion
+    tangential_coeffs: Optional[jnp.ndarray] = None,  # (C, 2)
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Dict]:
     """gsplat.rasterization equivalent (dense single-batch layout).
+
+    camera_model "fisheye" or any distortion coeffs switch projection to the
+    unscented transform (ops/cameras.py, reference ProjectionUT3DGSFused.cu);
+    the tile pipeline downstream is shared.
 
     Returns (render_colors (C, H, W, D[+1]), render_alphas (C, H, W, 1), meta).
     """
@@ -166,11 +174,25 @@ def rasterize(
     # for N ~ 1M gaussians the dense [C, N, 3, 3] intermediates of an
     # all-camera projection dominate HBM, and XLA reuses the single-camera
     # buffers across map iterations.
-    def per_camera(viewmat, K):
-        proj = projection.fully_fused_projection(
-            means, covars, viewmat[None], K[None], width, height, eps2d=eps2d,
-            near_plane=near_plane, far_plane=far_plane,
-            calc_compensations=calc_compensations)
+    use_ut = (camera_model != "pinhole" or radial_coeffs is not None
+              or tangential_coeffs is not None)
+
+    def per_camera(args):
+        viewmat, K, rad_c, tang_c = args
+        if use_ut:
+            from . import cameras as cam_models
+            proj = cam_models.fully_fused_projection_ut(
+                means, covars, viewmat[None], K[None], width, height,
+                camera_model=camera_model,
+                radial_coeffs=None if rad_c is None else rad_c[None],
+                tangential_coeffs=None if tang_c is None else tang_c[None],
+                eps2d=eps2d, near_plane=near_plane, far_plane=far_plane,
+                calc_compensations=calc_compensations)
+        else:
+            proj = projection.fully_fused_projection(
+                means, covars, viewmat[None], K[None], width, height, eps2d=eps2d,
+                near_plane=near_plane, far_plane=far_plane,
+                calc_compensations=calc_compensations)
         m2d, con, dep, rad = (proj.means2d[0], proj.conics[0],
                               proj.depths[0], proj.radii[0])
         op = opacities * proj.compensations[0] if proj.compensations is not None \
@@ -207,8 +229,9 @@ def rasterize(
                                               width, height, tile_size)
         return out, alpha, bins.n_dropped, rad, m2d, dep
 
+    cam_args = (viewmats, Ks, radial_coeffs, tangential_coeffs)
     (render_colors, render_alphas, n_dropped, radii_all, means2d_all,
-     depths_all) = lax.map(lambda args: per_camera(*args), (viewmats, Ks))
+     depths_all) = lax.map(per_camera, cam_args)
 
     if render_mode in ("ED", "RGB+ED"):
         render_colors = jnp.concatenate([
