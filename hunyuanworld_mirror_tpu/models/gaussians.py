@@ -174,52 +174,72 @@ def confidence_filter(cfg: GSRendererConfig, splats: Dict,
 def voxel_prune(cfg: GSRendererConfig, splats: Dict) -> Dict:
     """Merge splats sharing a voxel by weight (reference :301-387), static-shape.
 
-    Lexicographic sort on quantized (ix, iy, iz); each voxel's members form a
-    contiguous segment; weighted segment sums produce the merged splat stored
-    at the segment head slot; other slots become dead (opacity 0).
+    Scatter-free TPU formulation: quantized (ix,iy,iz) packed into two 30-bit
+    int32 sort keys (lexicographic order preserved; TPU radix-sorts i32 far
+    faster than a 3-key compare sort), then a *segmented* associative scan
+    sums w-weighted channels within each voxel's contiguous run. The merged
+    splat lands at each segment's LAST sorted slot; all other slots become
+    dead (opacity 0, parked past the far plane). No jax.ops.segment_sum /
+    scatter anywhere — scatters serialize on TPU and dominated this stage.
+    Segmented scans also keep fp accumulation error bounded by the segment
+    sum (not the global cumsum), so tiny voxels stay exact.
     """
     B, N = splats["means"].shape[:2]
     vs = cfg.voxel_size
 
     def one_batch(s):
         coords = s["means"]
-        vox = jnp.floor(coords / vs).astype(jnp.int32)
+        vox = jnp.floor(coords / vs)
         vox = vox - jnp.min(vox, axis=0, keepdims=True)
+        # 20 bits/axis: scenes are pose-normalized (~unit cube / 0.002 voxel
+        # => coords ~1e3), so 2^20 slots per axis is ample headroom; dead
+        # splats parked at 1e12 all clamp to the max corner and merge into
+        # one all-dead voxel (weight 0 keeps it dead).
+        vox = jnp.clip(vox, 0, (1 << 20) - 1).astype(jnp.int32)
+        hi = (vox[:, 0] << 10) | (vox[:, 1] >> 10)
+        lo = ((vox[:, 1] & 1023) << 20) | vox[:, 2]
         order = jnp.arange(N, dtype=jnp.int32)
-        ix, iy, iz, perm = lax.sort((vox[:, 0], vox[:, 1], vox[:, 2], order),
-                                    num_keys=3)
+        hi, lo, perm = lax.sort((hi, lo, order), num_keys=2, is_stable=False)
         new_seg = jnp.concatenate([
             jnp.ones((1,), bool),
-            (ix[1:] != ix[:-1]) | (iy[1:] != iy[:-1]) | (iz[1:] != iz[:-1])])
-        seg_id = jnp.cumsum(new_seg) - 1  # (N,) in sorted order
+            (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])])
+        is_last = jnp.concatenate([new_seg[1:], jnp.ones((1,), bool)])
 
         w = s["weights"][perm]
-        wsum = jax.ops.segment_sum(w, seg_id, num_segments=N)
-        wsum = jnp.maximum(wsum, 1e-8)
+        # one (N, C) channel matrix: [w, w*w, w*means, w*scales, w*quats, w*sh]
+        vals = jnp.concatenate([
+            w[:, None], (w * w)[:, None],
+            w[:, None] * s["means"][perm],
+            w[:, None] * s["scales"][perm],
+            w[:, None] * s["quats"][perm],
+            w[:, None] * s["sh"].reshape(N, -1)[perm]], axis=-1)
 
-        def wavg(x):
-            flat = x.reshape(N, -1)[perm]
-            acc = jax.ops.segment_sum(flat * w[:, None], seg_id, num_segments=N)
-            return (acc / wsum[:, None]).reshape((N,) + x.shape[1:])
+        # Hillis-Steele segmented inclusive scan: ceil(log2 N) shift-add
+        # sweeps of dense elementwise ops (lax.associative_scan's odd/even
+        # recursion compiles poorly on TPU at N~1e6).
+        acc, flg = vals, new_seg
+        d = 1
+        while d < N:
+            pv = jnp.pad(acc[:-d], ((d, 0), (0, 0)))
+            pf = jnp.pad(flg[:-d], (d, 0), constant_values=True)
+            acc = jnp.where(flg[:, None], acc, acc + pv)
+            flg = flg | pf
+            d *= 2
+        # at is_last slots, acc holds the full segment (voxel) totals
+        wsum = jnp.maximum(acc[:, 0], 1e-8)
+        inv = 1.0 / wsum
+        alive = is_last & (acc[:, 0] > 1e-6)
 
+        q = acc[:, 8:12] * inv[:, None]
+        q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-8)
         merged = {
-            "means": wavg(s["means"]),
-            "scales": wavg(s["scales"]),
-            "sh": wavg(s["sh"]),
-            "quats": None,
-            "opacities": jax.ops.segment_sum(w * w, seg_id, num_segments=N) / wsum,
+            "means": jnp.where(alive[:, None], acc[:, 2:5] * inv[:, None], 1e12),
+            "scales": jnp.where(alive[:, None], acc[:, 5:8] * inv[:, None], 1e-8),
+            "quats": q,
+            "sh": (acc[:, 12:] * inv[:, None]).reshape(s["sh"].shape),
+            "opacities": jnp.where(alive, acc[:, 1] * inv, 0.0),
+            "weights": jnp.where(alive, wsum, 0.0),
         }
-        q = wavg(s["quats"])
-        merged["quats"] = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-8)
-
-        n_vox = seg_id[-1] + 1
-        # a voxel whose members were all dead (weight ~0) stays dead
-        alive = (jnp.arange(N) < n_vox) & (wsum > 1e-6)
-        merged["opacities"] = jnp.where(alive, merged["opacities"], 0.0)
-        merged["scales"] = jnp.where(alive[:, None], merged["scales"], 1e-8)
-        merged["weights"] = jnp.where(alive, wsum, 0.0)
-        # park dead voxels beyond the far plane (see confidence_filter)
-        merged["means"] = jnp.where(alive[:, None], merged["means"], 1e12)
         return merged
 
     return jax.vmap(one_batch)({k: splats[k] for k in

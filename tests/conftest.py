@@ -4,7 +4,10 @@ exercised without TPU hardware, mirroring gsplat's CPU-oracle test pattern
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even if the ambient env selects a TPU platform (e.g.
+# JAX_PLATFORMS=axon): tests are numeric-tolerance-calibrated for fp32 CPU
+# and exercise sharding on a virtual 8-device mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"

@@ -1,0 +1,107 @@
+"""Voxel-prune / conf-filter parity vs a brute-force numpy oracle.
+
+Oracle semantics follow reference src/models/models/rasterization.py:301-387
+(torch.unique over quantized coords + weighted scatter_add merge); our
+static-shape version leaves merged-away entries in the array as dead splats
+(opacity 0) instead of compacting, so comparison is over the alive set.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from hunyuanworld_mirror_tpu.models import gaussians as G
+
+
+def _rand_splats(rng, N, spread=0.01):
+    return {
+        "means": rng.uniform(-spread, spread, (1, N, 3)).astype(np.float32),
+        "quats": rng.normal(size=(1, N, 4)).astype(np.float32),
+        "scales": rng.uniform(1e-4, 1e-2, (1, N, 3)).astype(np.float32),
+        "opacities": rng.uniform(0, 1, (1, N)).astype(np.float32),
+        "sh": rng.normal(size=(1, N, 1, 3)).astype(np.float32),
+        "weights": rng.uniform(0.01, 1, (1, N)).astype(np.float32),
+    }
+
+
+def _oracle(splats, vs):
+    """Weighted merge per voxel, like reference prune_gs."""
+    m = splats["means"][0]
+    vox = np.floor(m / vs)
+    vox -= vox.min(axis=0, keepdims=True)
+    keys = [tuple(v) for v in vox.astype(np.int64)]
+    groups = {}
+    for i, k in enumerate(keys):
+        groups.setdefault(k, []).append(i)
+    out = []
+    for k, idx in groups.items():
+        w = splats["weights"][0][idx]
+        ws = w.sum()
+        if ws <= 1e-6:
+            continue
+        mean = (splats["means"][0][idx] * w[:, None]).sum(0) / ws
+        scale = (splats["scales"][0][idx] * w[:, None]).sum(0) / ws
+        sh = (splats["sh"][0][idx] * w[:, None, None]).sum(0) / ws
+        q = (splats["quats"][0][idx] * w[:, None]).sum(0) / ws
+        q = q / max(np.linalg.norm(q), 1e-8)
+        op = (w * w).sum() / ws
+        out.append((mean, scale, sh, q, op, ws))
+    return out
+
+
+def test_voxel_prune_matches_oracle():
+    rng = np.random.default_rng(0)
+    N = 256
+    splats = _rand_splats(rng, N, spread=0.004)  # dense -> many collisions
+    cfg = G.GSRendererConfig(voxel_size=0.002)
+    jx = {k: jnp.asarray(v) for k, v in splats.items()}
+    merged = {k: np.asarray(v) for k, v in G.voxel_prune(cfg, jx).items()}
+
+    alive = merged["opacities"][0] > 0
+    got = sorted(
+        zip(merged["means"][0][alive].tolist(),
+            merged["weights"][0][alive].tolist()),
+        key=lambda t: t[0])
+    want_raw = _oracle(splats, cfg.voxel_size)
+    want = sorted(((m.tolist(), float(ws)) for m, _, _, _, _, ws in want_raw),
+                  key=lambda t: t[0])
+    assert len(got) == len(want), (len(got), len(want))
+    for (gm, gw), (wm, ww) in zip(got, want):
+        np.testing.assert_allclose(gm, wm, rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(gw, ww, rtol=1e-4)
+
+    # full per-voxel attribute check via a means->oracle lookup
+    lut = {tuple(np.round(m, 5)): (s, sh, q, op)
+           for m, s, sh, q, op, _ in want_raw}
+    for i in np.flatnonzero(alive):
+        key = tuple(np.round(merged["means"][0][i], 5))
+        assert key in lut
+        s, sh, q, op = lut[key]
+        np.testing.assert_allclose(merged["scales"][0][i], s, rtol=1e-3)
+        np.testing.assert_allclose(merged["sh"][0][i], sh, rtol=1e-3, atol=1e-5)
+        np.testing.assert_allclose(merged["quats"][0][i], q, rtol=1e-3, atol=1e-5)
+        np.testing.assert_allclose(merged["opacities"][0][i], op, rtol=1e-3)
+
+
+def test_voxel_prune_isolated_splats_pass_through():
+    rng = np.random.default_rng(1)
+    N = 64
+    splats = _rand_splats(rng, N, spread=10.0)  # sparse -> no collisions
+    cfg = G.GSRendererConfig(voxel_size=0.002)
+    jx = {k: jnp.asarray(v) for k, v in splats.items()}
+    merged = {k: np.asarray(v) for k, v in G.voxel_prune(cfg, jx).items()}
+    alive = merged["opacities"][0] > 0
+    assert alive.sum() == N
+    got = np.sort(merged["means"][0][alive], axis=0)
+    want = np.sort(splats["means"][0], axis=0)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+
+
+def test_voxel_prune_dead_splats_stay_dead():
+    rng = np.random.default_rng(2)
+    splats = _rand_splats(rng, 32)
+    splats["weights"][:] = 0.0
+    splats["means"][:] = 1e12  # parked like confidence_filter does
+    cfg = G.GSRendererConfig(voxel_size=0.002)
+    jx = {k: jnp.asarray(v) for k, v in splats.items()}
+    merged = G.voxel_prune(cfg, jx)
+    assert np.asarray(merged["opacities"]).max() == 0.0
