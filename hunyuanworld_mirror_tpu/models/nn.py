@@ -133,6 +133,31 @@ def silu_mlp(p, x):
     return linear(p["fc2"], x)
 
 
+def group_norm_init(dim: int):
+    return {"scale": jnp.ones((dim,), jnp.float32),
+            "bias": jnp.zeros((dim,), jnp.float32)}
+
+
+def group_norm(p, x, num_groups: int = 16, eps: float = 1e-5):
+    """GroupNorm over NHWC (stats in fp32). Groups clamp to the channel count
+    so 1-channel maps degrade to InstanceNorm (reference centersnap backbone
+    group_norm uses 16 groups, panoptic_backbone.py:148-156)."""
+    C = x.shape[-1]
+    g = min(num_groups, C)
+    while C % g:
+        g -= 1
+    dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    shape = x.shape[:-1] + (g, C // g)
+    xg = x32.reshape(shape)
+    axes = tuple(range(1, x.ndim - 1)) + (x.ndim,)  # spatial dims + intra-group
+    mean = jnp.mean(xg, axis=axes, keepdims=True)
+    var = jnp.mean(jnp.square(xg - mean), axis=axes, keepdims=True)
+    y = ((xg - mean) * lax.rsqrt(var + eps)).reshape(x.shape)
+    y = y * p["scale"] + p["bias"]
+    return y.astype(dtype)
+
+
 # ---------------------------------------------------------------------------
 # Convolutions (NHWC, HWIO)
 # ---------------------------------------------------------------------------

@@ -8,17 +8,22 @@ checkpoint (params + optimizer + step) and jit-compiled train/eval steps.
 
 import time
 from dataclasses import dataclass, field
-from typing import Dict, Optional
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..models import centersnap
+from ..models import centersnap, panoptic
 from ..utils import priors as prior_utils
 from . import checkpoint as ckpt_lib
 from . import losses
+
+# ImageNet stats: the panoptic baseline consumes pre-normalized RGB
+# (reference train_centersnap_panoptic.py:118-123 un-normalizes for vis)
+_IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+_IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
 @dataclass
@@ -35,8 +40,23 @@ class TrainConfig:
     ckpt_path: str = "checkpoints/centersnap.npz"
     resume: Optional[str] = None
     seed: int = 0
-    model: centersnap.CenterSnapConfig = field(
-        default_factory=centersnap.CenterSnapConfig)
+    # "transformer" = WorldMirrorCenterSnap (reference train.py); "res_fpn" =
+    # the ResNet-FPN panoptic baseline (reference train_centersnap_panoptic.py)
+    arch: str = "transformer"
+    model: Any = field(default_factory=centersnap.CenterSnapConfig)
+
+
+def model_init(cfg: TrainConfig, key):
+    if cfg.arch == "res_fpn":
+        return panoptic.init(key, cfg.model)
+    return centersnap.init(key, cfg.model)
+
+
+def model_forward(cfg: TrainConfig, params, batch: Dict):
+    if cfg.arch == "res_fpn":
+        return panoptic.forward(params, cfg.model, batch["rgb"], batch["depth"])
+    return centersnap.forward(params, cfg.model, batch["rgb"],
+                              batch.get("depth"))
 
 
 def make_optimizer(cfg: TrainConfig):
@@ -48,8 +68,7 @@ def make_optimizer(cfg: TrainConfig):
 def make_train_step(cfg: TrainConfig, tx):
     def train_step(params, opt_state, batch):
         def loss_fn(p):
-            preds = centersnap.forward(p, cfg.model, batch["rgb"],
-                                       batch.get("depth"))
+            preds = model_forward(cfg, p, batch)
             return losses.centersnap_loss(preds, batch)
 
         (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -62,8 +81,7 @@ def make_train_step(cfg: TrainConfig, tx):
 
 def make_eval_step(cfg: TrainConfig):
     def eval_step(params, batch):
-        preds = centersnap.forward(params, cfg.model, batch["rgb"],
-                                   batch.get("depth"))
+        preds = model_forward(cfg, params, batch)
         return losses.centersnap_loss(preds, batch)
 
     return jax.jit(eval_step)
@@ -73,8 +91,12 @@ def _prepare_batch(cfg: TrainConfig, batch: Dict[str, np.ndarray]) -> Dict:
     out = {"rgb": jnp.asarray(batch["rgb"]),
            "heatmap": jnp.asarray(batch["heatmap"]),
            "pose_map": jnp.asarray(batch["pose_map"])}
+    if cfg.arch == "res_fpn":
+        out["rgb"] = (out["rgb"] - _IMAGENET_MEAN) / _IMAGENET_STD
     if "depth" in batch:
         out["depth"] = prior_utils.normalize_depth_fixed(jnp.asarray(batch["depth"]))
+    elif cfg.arch == "res_fpn":
+        out["depth"] = jnp.zeros(out["rgb"].shape[:3], out["rgb"].dtype)
     # pose maps stored channel-first by the preprocessing (reference
     # preprocessing/utils.py) -> NHWC
     if out["pose_map"].ndim == 4 and out["pose_map"].shape[1] == 12:
@@ -86,7 +108,7 @@ def train(cfg: TrainConfig, log_fn=print):
     from .data import ShardedLoader
 
     key = jax.random.PRNGKey(cfg.seed)
-    params = centersnap.init(key, cfg.model)
+    params = model_init(cfg, key)
     tx = make_optimizer(cfg)
     opt_state = tx.init(params)
     step = 0

@@ -28,24 +28,32 @@ def main():
     p.add_argument("--patch-size", type=int, default=16)
     p.add_argument("--depth-cond", action="store_true",
                    help="condition on the depth channel (reference train.py:167)")
+    p.add_argument("--arch", choices=("transformer", "res_fpn"),
+                   default="transformer",
+                   help="res_fpn = ResNet-FPN panoptic baseline "
+                        "(reference train_centersnap_panoptic.py; its HParams "
+                        "default lr 6e-4 / wd 1e-4 / batch 32)")
     p.add_argument("--ckpt", default="checkpoints/centersnap.npz")
     p.add_argument("--ckpt-every-epochs", type=int, default=2)
     p.add_argument("--resume", default=None)
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
 
-    from hunyuanworld_mirror_tpu.models import centersnap
+    from hunyuanworld_mirror_tpu.models import centersnap, panoptic
     from hunyuanworld_mirror_tpu.training import trainer
 
-    model_cfg = centersnap.CenterSnapConfig(
-        img_size=args.img_size, patch_size=args.patch_size,
-        use_depth_condition=args.depth_cond)
+    if args.arch == "res_fpn":
+        model_cfg = panoptic.PanopticConfig()
+    else:
+        model_cfg = centersnap.CenterSnapConfig(
+            img_size=args.img_size, patch_size=args.patch_size,
+            use_depth_condition=args.depth_cond)
     cfg = trainer.TrainConfig(
         train_shards=args.train_shards, test_shards=args.test_shards,
         batch_size=args.batch_size, epochs=args.epochs, lr=args.lr,
         weight_decay=args.weight_decay, ckpt_path=args.ckpt,
         ckpt_every_epochs=args.ckpt_every_epochs, resume=args.resume,
-        seed=args.seed, model=model_cfg)
+        seed=args.seed, arch=args.arch, model=model_cfg)
     trainer.train(cfg)
 
 
