@@ -218,16 +218,20 @@ def rasterize(
         elif render_mode in ("D", "ED"):
             col = dep[..., None]
 
-        bins = tiles.bin_gaussians(m2d, rad, dep, tile_size, tw, th,
-                                   max_tiles_per_gauss, max_per_tile)
         if impl == "pallas":
-            from .rasterizer_pallas import rasterize_binned_pallas
-            out, alpha = rasterize_binned_pallas(m2d, con, col, op, bins,
-                                                 width, height, tile_size)
+            # flat sorted-list path: payload rides the isect sort; no dense
+            # per-tile gathers (see rasterizer_pallas._kernel_flat)
+            from .rasterizer_pallas import rasterize_flat_pallas
+            out, alpha, n_drop = rasterize_flat_pallas(
+                m2d, con, col, op, rad, dep, width, height, tile_size,
+                max_tiles_per_gauss, max_per_tile)
         else:
+            bins = tiles.bin_gaussians(m2d, rad, dep, tile_size, tw, th,
+                                       max_tiles_per_gauss, max_per_tile)
             out, alpha = rasterize_binned_jax(m2d, con, col, op, bins,
                                               width, height, tile_size)
-        return out, alpha, bins.n_dropped, rad, m2d, dep
+            n_drop = bins.n_dropped
+        return out, alpha, n_drop, rad, m2d, dep
 
     cam_args = (viewmats, Ks, radial_coeffs, tangential_coeffs)
     (render_colors, render_alphas, n_dropped, radii_all, means2d_all,

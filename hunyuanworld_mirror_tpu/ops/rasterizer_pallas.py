@@ -178,6 +178,248 @@ def _forward_pallas(means2d, conics, colors, opacities, gauss_ids, counts,
     return img[:height, :width], a[:height, :width, None]
 
 
+# ---------------------------------------------------------------------------
+# Flat-sorted-list kernel: no dense per-tile staging gathers
+# ---------------------------------------------------------------------------
+#
+# The dense path above needs two XLA gathers per camera (sorted ids -> dense
+# (T, MPT) layout, then table[gauss_ids]); at ~4M intersections those cost
+# 30-100ms each on v5e while the sort itself is ~6ms. This kernel instead
+# consumes the *globally sorted* component-major intersection list from
+# tiles.bin_gaussians_packed directly: per tile it double-buffer-DMAs
+# chunk-aligned slices of the flat list from HBM and masks entries outside
+# [start, start+count). Orientation flips vs the dense kernel: pixels ride
+# sublanes, splat entries ride lanes, so the per-chunk payload block (V, CH)
+# needs no transpose — (1, CH) component rows broadcast against (P, CH)
+# pixel math, and the color contraction is dot((P,CH), (D,CH)^T) on the MXU.
+
+
+def _prefix_scan_lanes(x, exclusive: bool):
+    """Prefix sum along axis 1 (lanes) of a (P, CH) block; CH power of two."""
+    CH = x.shape[1]
+    col = lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    if exclusive:
+        shifted = pltpu.roll(x, 1, axis=1)
+        x = jnp.where(col >= 1, shifted, 0.0)
+    d = 1
+    while d < CH:
+        shifted = pltpu.roll(x, d, axis=1)
+        x = x + jnp.where(col >= d, shifted, 0.0)
+        d *= 2
+    return x
+
+
+def _kernel_flat(starts_ref, counts_ref, packed_hbm,
+                 out_ref, alpha_ref, buf, sem, *,
+                 tile_size: int, tw: int, chunk: int, max_chunks: int,
+                 d_col: int, M: int):
+    t = pl.program_id(0)
+    P = tile_size * tile_size
+
+    out_ref[...] = jnp.zeros_like(out_ref)
+    alpha_ref[...] = jnp.zeros_like(alpha_ref)
+
+    start = starts_ref[t]
+    count = counts_ref[t]
+    n_blocks = M // chunk  # M is a chunk multiple (padded by _forward_flat)
+    b0 = jnp.minimum(start // chunk, n_blocks - 1)
+    a0 = b0 * chunk
+    total = (start - a0) + count
+    nch = jnp.minimum((total + chunk - 1) // chunk, max_chunks)
+
+    origin_x = (t % tw) * tile_size
+    origin_y = (t // tw) * tile_size
+    pix = lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+    px = (origin_x + pix % tile_size).astype(jnp.float32) + 0.5   # (P, 1)
+    py = (origin_y + pix // tile_size).astype(jnp.float32) + 0.5
+
+    def dma(slot, j):
+        # offset expressed as block_idx * chunk so Mosaic can prove the
+        # 128-lane divisibility of the dynamic slice start
+        blk = jnp.minimum(b0 + j, n_blocks - 1)
+        return pltpu.make_async_copy(
+            packed_hbm.at[:, pl.ds(blk * chunk, chunk)], buf.at[slot],
+            sem.at[slot])
+
+    @pl.when(nch > 0)
+    def _run():
+        dma(0, 0).start()
+
+        def cond(carry):
+            j, _, stop = carry
+            return (j < nch) & (jnp.min(stop) < 0.5)
+
+        def body(carry):
+            j, logt, stop = carry
+            slot = lax.rem(j, 2)
+            dma(slot, j).wait()
+
+            @pl.when(j + 1 < nch)
+            def _prefetch():
+                dma(1 - slot, j + 1).start()
+
+            b = buf[slot]                     # (V, CH)
+            mx, my = b[0:1, :], b[1:2, :]     # (1, CH)
+            ca, cb, cc = b[2:3, :], b[3:4, :], b[4:5, :]
+            op = b[5:6, :]
+
+            dx = px - mx                      # (P, CH)
+            dy = py - my
+            sigma = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
+            alpha = jnp.minimum(0.999, op * jnp.exp(-sigma))
+
+            off = jnp.minimum(b0 + j, n_blocks - 1) * chunk
+            g = off + lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+            keep = ((sigma >= 0) & (alpha >= ALPHA_THRESHOLD)
+                    & (g >= start) & (g < start + count))
+            alpha = jnp.where(keep, alpha, 0.0)
+
+            lg = jnp.log1p(-alpha)
+            cum_excl = _prefix_scan_lanes(lg, exclusive=True)
+            log_T_before = jnp.maximum(logt + cum_excl, NEG_INF_GUARD)
+            T_before = jnp.exp(log_T_before)
+            T_after = T_before * (1.0 - alpha)
+
+            tripped = ((T_after <= T_EPS) & (alpha > 0)).astype(jnp.float32)
+            stopped_incl = _prefix_scan_lanes(tripped, exclusive=False)
+            dead = jnp.maximum(stop, jnp.minimum(stopped_incl, 1.0))
+            w = alpha * T_before * (1.0 - dead)   # (P, CH)
+
+            col_t = b[6:6 + d_col, :]             # (D, CH)
+            out_ref[0, :, :] = out_ref[0, :, :] + lax.dot_general(
+                w, col_t, dimension_numbers=(((1,), (1,)), ((), ())),
+                precision=lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)      # (P, D)
+            alpha_ref[0, :, 0] = alpha_ref[0, :, 0] + jnp.sum(w, axis=1)
+
+            logt = logt + jnp.sum(lg, axis=1, keepdims=True)
+            stop = jnp.maximum(stop, jnp.minimum(
+                jnp.sum(tripped, axis=1, keepdims=True), 1.0))
+            return j + 1, logt, stop
+
+        lax.while_loop(cond, body, (jnp.int32(0),
+                                    jnp.zeros((P, 1), jnp.float32),
+                                    jnp.zeros((P, 1), jnp.float32)))
+
+
+def _forward_flat(packed, starts, counts, width: int, height: int,
+                  tile_size: int, d_col: int, max_per_tile: int,
+                  chunk: int = 512, interpret: bool = False):
+    """Rasterize one camera from the flat sorted intersection list.
+
+    Args:
+      packed: (V, M) component-major sorted payload, rows
+        [mx, my, ca, cb, cc, op, col_0..col_{D-1}].
+      starts/counts: (T,) int32 per-tile segment bounds (counts pre-clamped
+        to max_per_tile by the binning).
+    """
+    tw = (width + tile_size - 1) // tile_size
+    th = (height + tile_size - 1) // tile_size
+    n_tiles = tw * th
+    P = tile_size * tile_size
+    V, M = packed.shape
+    # Mosaic alignment: slice dim 0 must be 8-sublane aligned; dynamic lane
+    # offsets must be chunk (=128k) aligned, so M is padded to a chunk multiple
+    pad_v = (-V) % 8
+    pad_m = (-M) % chunk
+    if pad_v or pad_m:
+        packed = jnp.pad(packed, ((0, pad_v), (0, pad_m)))
+        V, M = packed.shape
+    # +1 chunk of slack: a tile's segment start is rarely chunk-aligned
+    max_chunks = -(-max_per_tile // chunk) + 1
+
+    kernel = functools.partial(
+        _kernel_flat, tile_size=tile_size, tw=tw, chunk=chunk,
+        max_chunks=max_chunks, d_col=d_col, M=M)
+
+    out, alpha = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # starts
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # counts
+            pl.BlockSpec(memory_space=pl.ANY),       # packed stays in HBM
+        ],
+        out_specs=[
+            pl.BlockSpec((1, P, d_col), lambda t: (t, 0, 0)),
+            pl.BlockSpec((1, P, 1), lambda t: (t, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, P, d_col), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, P, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, V, chunk), jnp.float32),  # double-buffered payload
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(starts, counts, packed)
+
+    img = out.reshape(th, tw, tile_size, tile_size, d_col)
+    img = img.transpose(0, 2, 1, 3, 4).reshape(th * tile_size, tw * tile_size, d_col)
+    a = alpha.reshape(th, tw, tile_size, tile_size)
+    a = a.transpose(0, 2, 1, 3).reshape(th * tile_size, tw * tile_size)
+    return img[:height, :width], a[:height, :width, None]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
+def rasterize_flat_pallas(means2d, conics, colors, opacities, radii, depths,
+                          width: int, height: int, tile_size: int,
+                          max_tiles_per_gauss: int, max_per_tile: int,
+                          interpret: bool = False):
+    """Bin + rasterize one camera via the flat sorted-list kernel.
+
+    Binning (tiles.bin_gaussians_packed) lives inside the custom VJP: the
+    payload rides the isect sort, so no dense per-tile gather exists on the
+    forward path. Backward rebuilds dense bins once and replays the JAX
+    formulation (matching rasterize_binned_pallas's strategy).
+
+    Returns (img (H, W, D), alpha (H, W, 1), n_dropped ()).
+    """
+    out, _ = _flat_fwd(means2d, conics, colors, opacities, radii, depths,
+                       width, height, tile_size, max_tiles_per_gauss,
+                       max_per_tile, interpret)
+    return out
+
+
+def _flat_fwd(means2d, conics, colors, opacities, radii, depths,
+              width, height, tile_size, max_tiles_per_gauss, max_per_tile,
+              interpret):
+    tw = (width + tile_size - 1) // tile_size
+    th = (height + tile_size - 1) // tile_size
+    values = jnp.concatenate(
+        [means2d, conics, opacities[:, None], colors], axis=-1)
+    flat = tiles.bin_gaussians_packed(
+        means2d, radii, depths, values, tile_size, tw, th,
+        max_tiles_per_gauss, max_per_tile)
+    img, alpha = _forward_flat(flat.packed, flat.starts, flat.counts,
+                               width, height, tile_size, colors.shape[-1],
+                               max_per_tile, interpret=interpret)
+    out = (img, alpha, flat.n_dropped)
+    return out, (means2d, conics, colors, opacities, radii, depths)
+
+
+def _flat_bwd(width, height, tile_size, max_tiles_per_gauss, max_per_tile,
+              interpret, residuals, cotangents):
+    from .rasterizer import rasterize_binned_jax
+    means2d, conics, colors, opacities, radii, depths = residuals
+    tw = (width + tile_size - 1) // tile_size
+    th = (height + tile_size - 1) // tile_size
+    bins = tiles.bin_gaussians(means2d, radii, depths, tile_size, tw, th,
+                               max_tiles_per_gauss, max_per_tile)
+
+    def f(m, c, col, op):
+        return rasterize_binned_jax(m, c, col, op, bins, width, height,
+                                    tile_size)
+
+    _, vjp = jax.vjp(f, means2d, conics, colors, opacities)
+    gm, gc, gcol, gop = vjp(cotangents[:2])
+    return gm, gc, gcol, gop, None, None
+
+
+rasterize_flat_pallas.defvjp(_flat_fwd, _flat_bwd)
+
+
 def _tpu_compat_check():  # pragma: no cover
     """Mosaic tiling rules honored here: every input/output block's trailing
     two dims are (multiple-of-8, equal-to-array-dim) or (any, multiple-of-128);

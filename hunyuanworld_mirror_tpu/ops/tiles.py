@@ -31,6 +31,21 @@ class TileBins(NamedTuple):
     n_dropped: jnp.ndarray   # () int32 — intersections beyond the caps
 
 
+class FlatBins(NamedTuple):
+    """Globally depth/tile-sorted intersection list, component-major.
+
+    `packed[r, i]` is payload component r of the i-th sorted intersection;
+    tile t's entries live at [starts[t], starts[t] + counts[t]). No dense
+    per-tile gather is ever materialized — XLA gathers cost 30-100ms at
+    ~4M rows on v5e while a multi-operand sort is ~6ms, so the payload rides
+    the sort itself and the Pallas kernel DMAs aligned slices directly.
+    """
+    packed: jnp.ndarray      # (n_components, N*TPG) f32, sorted
+    starts: jnp.ndarray      # (n_tiles,) int32
+    counts: jnp.ndarray      # (n_tiles,) int32, clamped to max_per_tile
+    n_dropped: jnp.ndarray   # () int32
+
+
 def tile_ranges(means2d: jnp.ndarray, radii: jnp.ndarray, tile_size: int,
                 tile_width: int, tile_height: int):
     """Per-gaussian clamped tile boxes; (tmin, tmax) each (N, 2) int32."""
@@ -45,18 +60,23 @@ def tile_ranges(means2d: jnp.ndarray, radii: jnp.ndarray, tile_size: int,
     return tmin, tmax, valid
 
 
-def bin_gaussians(means2d: jnp.ndarray, radii: jnp.ndarray, depths: jnp.ndarray,
-                  tile_size: int, tile_width: int, tile_height: int,
-                  max_tiles_per_gauss: int = 9,
-                  max_per_tile: int = 1024) -> TileBins:
-    """Bin N projected gaussians of ONE camera into per-tile depth-sorted lists.
+DEPTH_BITS = 20
 
-    Args:
-      means2d: (N, 2); radii: (N, 2) int; depths: (N,).
+
+def _isect_keys(means2d, radii, depths, tile_size, tile_width, tile_height,
+                TPG: int):
+    """Packed 31-bit isect sort keys: tile id (11b) | quantized depth (20b).
+
+    The CUDA isect-key trick (IntersectTile.cu packs (tile|depth) 64-bit keys
+    for CUB radix sort) compressed into one i32 — depth quantized to 2^20
+    levels against the scene's live [min, max] range. A 1M-level depth rank
+    only permutes splats whose depths differ by <(range/2^20) within one
+    tile, which is blending-order noise.
+
+    Returns (key (N, TPG) i32, n_cover (N,), valid (N,)).
     """
-    N = means2d.shape[0]
     n_tiles = tile_width * tile_height
-    TPG = max_tiles_per_gauss
+    assert n_tiles < (1 << (31 - DEPTH_BITS)), "tile id overflows packed key"
 
     # tile_ranges math in (N,) component planes (the (N, 2) form pays TPU
     # lane padding — see projection.fully_fused_projection note)
@@ -80,33 +100,84 @@ def bin_gaussians(means2d: jnp.ndarray, radii: jnp.ndarray, depths: jnp.ndarray,
     slot_valid = (k < n_cover[:, None]) & valid[:, None]
     tile_id = jnp.where(slot_valid, ty * tile_width + tx, n_tiles)  # sentinel
 
-    # ONE unstable 2-key sort over (tile, depth-bits) — the CUDA isect-key
-    # trick (IntersectTile.cu packs (tile|depth) 64-bit keys for CUB radix
-    # sort); i64 packing is unavailable without x64, but a fused 2-key i32
-    # sort still beats the previous argsort(depths) + stable-by-tile pair
-    # (measured 51ms vs 32+36ms at 4M entries on v5p). Positive-float bit
-    # patterns are order-preserving as int32, so the second key sorts
-    # front-to-back within each tile.
-    depth_bits = lax.bitcast_convert_type(jnp.maximum(depths, 0.0), jnp.int32)
-    flat_tiles = tile_id.reshape(-1)
-    flat_depth = jnp.broadcast_to(depth_bits[:, None], (N, TPG)).reshape(-1)
-    flat_gauss = jnp.broadcast_to(
-        jnp.arange(N, dtype=jnp.int32)[:, None], (N, TPG)).reshape(-1)
+    d_ok = jnp.where(valid, depths, jnp.inf)
+    dmin = jnp.min(d_ok)
+    dmax = jnp.max(jnp.where(valid, depths, -jnp.inf))
+    scale = ((1 << DEPTH_BITS) - 1) / jnp.maximum(dmax - dmin, 1e-12)
+    # nan_to_num: a NaN depth (possible on culled slots) must not reach the
+    # packed key — a negative int would set the sign bit and corrupt the sort
+    depth_q = jnp.clip(jnp.nan_to_num((depths - dmin) * scale),
+                       0, (1 << DEPTH_BITS) - 1).astype(jnp.int32)
+    return (tile_id << DEPTH_BITS) | depth_q[:, None], n_cover, valid
 
-    sorted_tiles, _, sorted_gauss = lax.sort(
-        (flat_tiles, flat_depth, flat_gauss), num_keys=2, is_stable=False)
 
+def _tile_edges(sorted_keys, n_tiles, max_per_tile, n_cover, TPG, valid):
     edges = jnp.searchsorted(
-        sorted_tiles, jnp.arange(n_tiles + 1, dtype=jnp.int32),
+        sorted_keys, jnp.arange(n_tiles + 1, dtype=jnp.int32) << DEPTH_BITS,
         side="left").astype(jnp.int32)
     starts = edges[:-1]
     counts_full = edges[1:] - starts
     counts = jnp.minimum(counts_full, max_per_tile)
     n_dropped = jnp.sum(counts_full - counts) + jnp.sum(
         jnp.maximum(n_cover - TPG, 0) * valid)
+    return starts, counts, n_dropped.astype(jnp.int32)
+
+
+def bin_gaussians(means2d: jnp.ndarray, radii: jnp.ndarray, depths: jnp.ndarray,
+                  tile_size: int, tile_width: int, tile_height: int,
+                  max_tiles_per_gauss: int = 9,
+                  max_per_tile: int = 1024) -> TileBins:
+    """Bin N projected gaussians of ONE camera into per-tile depth-sorted lists.
+
+    Args:
+      means2d: (N, 2); radii: (N, 2) int; depths: (N,).
+    """
+    N = means2d.shape[0]
+    n_tiles = tile_width * tile_height
+    TPG = max_tiles_per_gauss
+
+    key, n_cover, valid = _isect_keys(means2d, radii, depths, tile_size,
+                                      tile_width, tile_height, TPG)
+    flat_gauss = jnp.broadcast_to(
+        jnp.arange(N, dtype=jnp.int32)[:, None], (N, TPG)).reshape(-1)
+    sorted_keys, sorted_gauss = lax.sort(
+        (key.reshape(-1), flat_gauss), num_keys=1, is_stable=False)
+
+    starts, counts, n_dropped = _tile_edges(sorted_keys, n_tiles, max_per_tile,
+                                            n_cover, TPG, valid)
 
     idx = starts[:, None] + jnp.arange(max_per_tile, dtype=jnp.int32)[None, :]
     idx = jnp.minimum(idx, N * TPG - 1)
     gauss_dense = sorted_gauss[idx]  # (n_tiles, max_per_tile)
 
-    return TileBins(gauss_dense, counts, n_dropped.astype(jnp.int32))
+    return TileBins(gauss_dense, counts, n_dropped)
+
+
+def bin_gaussians_packed(means2d: jnp.ndarray, radii: jnp.ndarray,
+                         depths: jnp.ndarray, values: jnp.ndarray,
+                         tile_size: int, tile_width: int, tile_height: int,
+                         max_tiles_per_gauss: int = 9,
+                         max_per_tile: int = 1024) -> FlatBins:
+    """Like bin_gaussians, but the per-gaussian payload `values` (N, V) rides
+    the sort as extra operands, producing the component-major sorted flat
+    intersection list consumed by the flat Pallas kernel (no dense gathers).
+    """
+    N = means2d.shape[0]
+    n_tiles = tile_width * tile_height
+    TPG = max_tiles_per_gauss
+
+    key, n_cover, valid = _isect_keys(means2d, radii, depths, tile_size,
+                                      tile_width, tile_height, TPG)
+    # one transpose up front so each payload plane is a contiguous row —
+    # per-column strided reads of the (N, V) matrix are lane-gathers on TPU
+    # and cost more than the sort itself
+    values_t = values.T  # (V, N)
+    operands = (key.reshape(-1),) + tuple(
+        jnp.broadcast_to(values_t[r][:, None], (N, TPG)).reshape(-1)
+        for r in range(values.shape[1]))
+    sorted_ = lax.sort(operands, num_keys=1, is_stable=False)
+
+    starts, counts, n_dropped = _tile_edges(sorted_[0], n_tiles, max_per_tile,
+                                            n_cover, TPG, valid)
+    packed = jnp.stack(sorted_[1:], axis=0)  # (V, N*TPG)
+    return FlatBins(packed, starts, counts, n_dropped)

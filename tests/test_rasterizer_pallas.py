@@ -84,3 +84,53 @@ class TestPallasParity:
         for a, b in zip(gp, gj):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-3, rtol=1e-3)
+
+
+class TestFlatPallasParity:
+    """Flat sorted-list kernel (rasterize_flat_pallas) vs the dense JAX path."""
+
+    def _run_both(self, rng, n=150, mpt=512, tpg=12):
+        from hunyuanworld_mirror_tpu.ops.rasterizer_pallas import (
+            rasterize_flat_pallas)
+
+        proj, bins, colors, opac, (W, H, tile) = _setup(rng, n=n, mpt=mpt)
+        img_j, a_j = rasterize_binned_jax(
+            proj.means2d[0], proj.conics[0], colors, opac, bins, W, H, tile)
+        img_f, a_f, n_drop = rasterize_flat_pallas(
+            proj.means2d[0], proj.conics[0], colors, opac,
+            proj.radii[0], proj.depths[0], W, H, tile, tpg, mpt, True)
+        return (img_j, a_j), (img_f, a_f, n_drop)
+
+    def test_matches_jax_path(self, rng):
+        (img_j, a_j), (img_f, a_f, _) = self._run_both(rng)
+        np.testing.assert_allclose(np.asarray(img_f), np.asarray(img_j),
+                                   atol=1e-4, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(a_f), np.asarray(a_j), atol=1e-4)
+
+    def test_multi_chunk_and_unaligned_starts(self, rng):
+        (img_j, a_j), (img_f, a_f, _) = self._run_both(rng, n=400, mpt=1024)
+        np.testing.assert_allclose(np.asarray(img_f), np.asarray(img_j),
+                                   atol=1e-4, rtol=1e-4)
+
+    def test_grad_matches_jax(self, rng):
+        from hunyuanworld_mirror_tpu.ops.rasterizer_pallas import (
+            rasterize_flat_pallas)
+
+        proj, bins, colors, opac, (W, H, tile) = _setup(rng, n=60)
+
+        def loss_flat(col, op):
+            img, a, _ = rasterize_flat_pallas(
+                proj.means2d[0], proj.conics[0], col, op,
+                proj.radii[0], proj.depths[0], W, H, tile, 12, 512, True)
+            return jnp.sum(img ** 2) + jnp.sum(a)
+
+        def loss_jax(col, op):
+            img, a = rasterize_binned_jax(proj.means2d[0], proj.conics[0],
+                                          col, op, bins, W, H, tile)
+            return jnp.sum(img ** 2) + jnp.sum(a)
+
+        gf = jax.grad(loss_flat, argnums=(0, 1))(colors, opac)
+        gj = jax.grad(loss_jax, argnums=(0, 1))(colors, opac)
+        for a, b in zip(gf, gj):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-3, rtol=1e-3)
