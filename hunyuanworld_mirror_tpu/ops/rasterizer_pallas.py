@@ -387,8 +387,11 @@ def _flat_fwd(means2d, conics, colors, opacities, radii, depths,
               interpret):
     tw = (width + tile_size - 1) // tile_size
     th = (height + tile_size - 1) // tile_size
-    values = jnp.concatenate(
-        [means2d, conics, opacities[:, None], colors], axis=-1)
+    # payload as (N,) planes: a concatenated (N, 10) matrix would lane-pad
+    # to (N, 128) on TPU (12.8x HBM traffic) before the transpose
+    values = ((means2d[:, 0], means2d[:, 1], conics[:, 0], conics[:, 1],
+               conics[:, 2], opacities)
+              + tuple(colors[:, i] for i in range(colors.shape[-1])))
     flat = tiles.bin_gaussians_packed(
         means2d, radii, depths, values, tile_size, tw, th,
         max_tiles_per_gauss, max_per_tile)

@@ -81,7 +81,10 @@ class TestFullModel:
         assert preds["gs_depth"].shape == (B, S, H, W, 1)
         assert preds["rendered_colors"].shape == (B, S, H, W, 3)
         assert preds["rendered_depths"].shape == (B, S, H, W, 1)
-        assert preds["splats"]["means"].shape == (B, S * H * W, 3)
+        # compaction truncates the splat set to a static cap <= S*H*W
+        n_splats = preds["splats"]["means"].shape[1]
+        assert preds["splats"]["means"].shape == (B, n_splats, 3)
+        assert 0 < n_splats <= S * H * W
 
         for k, v in preds.items():
             if isinstance(v, dict):
