@@ -168,7 +168,9 @@ def confidence_filter(cfg: GSRendererConfig, splats: Dict,
     c = conf.reshape(B, N)
     c = jnp.where(c <= 1e-5, -jnp.inf, c)
     keep = int(min(cfg.max_gaussians, max(1, -(-N * (100.0 - cfg.conf_threshold_percent) // 100.0))))
-    kth = jnp.sort(c, axis=1)[:, N - keep]  # threshold value per batch
+    # per-batch 1-D sorts: a batched (B, N) sort takes XLA's batched path,
+    # ~8x slower than unbatched even at B=1 (see voxel_prune)
+    kth = jnp.stack([jnp.sort(c[b])[N - keep] for b in range(B)])
     alive = c >= kth[:, None]
     out = dict(splats)
     out["opacities"] = jnp.where(alive, splats["opacities"], 0.0)
@@ -259,15 +261,6 @@ def voxel_prune(cfg: GSRendererConfig, splats: Dict) -> Dict:
         vox = jnp.clip(vox, 0, (1 << 20) - 1).astype(jnp.int32)
         hi = (vox[:, 0] << 10) | (vox[:, 1] >> 10)
         lo = ((vox[:, 1] & 1023) << 20) | vox[:, 2]
-        # Single 31-bit spatial-hash sort key: a 2-key (hi, lo) lexicographic
-        # lax.sort costs ~5x a single-i32-key sort on TPU (measured 96 ms vs
-        # ~20 ms at 1M rows x 17 operands). The exact (hi, lo) voxel id rides
-        # as payload and gates segment boundaries, so a hash collision can
-        # only UNDER-merge (two voxels interleave in one hash bucket and stay
-        # separate splats) — never wrongly average distant splats. Expected
-        # collision mass at 1M live voxels in 2^31 bins is ~0.05% splats.
-        key = ((vox[:, 0] * 73856093) ^ (vox[:, 1] * 19349663)
-               ^ (vox[:, 2] * 83492791)) & 0x7FFFFFFF
 
         # w-weighted channel PLANES ride the voxel sort (a perm + 15
         # plane-gathers costs ~10x the extra sort operands on TPU; an (N, 15)
@@ -280,9 +273,9 @@ def voxel_prune(cfg: GSRendererConfig, splats: Dict) -> Dict:
                   w * s["quats"][:, 0], w * s["quats"][:, 1],
                   w * s["quats"][:, 2], w * s["quats"][:, 3],
                   ) + tuple(w * sh_flat[:, j] for j in range(sh_flat.shape[1]))
-        sorted_ = lax.sort((key, hi, lo) + planes, num_keys=1, is_stable=False)
-        hi, lo = sorted_[1], sorted_[2]
-        vals = jnp.stack(sorted_[3:], axis=0)  # (C, N) component-major
+        sorted_ = lax.sort((hi, lo) + planes, num_keys=2, is_stable=False)
+        hi, lo = sorted_[0], sorted_[1]
+        vals = jnp.stack(sorted_[2:], axis=0)  # (C, N) component-major
         new_seg = jnp.concatenate([
             jnp.ones((1,), bool),
             (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])])
@@ -314,8 +307,12 @@ def voxel_prune(cfg: GSRendererConfig, splats: Dict) -> Dict:
         }
         return merged
 
-    return jax.vmap(one_batch)({k: splats[k] for k in
-                                ("means", "quats", "scales", "opacities", "sh", "weights")})
+    # static Python loop over the (small) batch dim: a vmapped lax.sort takes
+    # XLA's batched-sort path, measured 8x slower than the unbatched 1-D sort
+    # even at batch 1 (99.5 ms vs 12.4 ms, 18 operands x 1.07M rows on v5e)
+    keys = ("means", "quats", "scales", "opacities", "sh", "weights")
+    outs = [one_batch({k: splats[k][b] for k in keys}) for b in range(B)]
+    return {k: jnp.stack([o[k] for o in outs]) for k in outs[0]}
 
 
 def compact_splats(cfg: GSRendererConfig, splats: Dict) -> Dict:
@@ -333,9 +330,8 @@ def compact_splats(cfg: GSRendererConfig, splats: Dict) -> Dict:
         return splats
 
     def one(s):
-        # monotonic int key (f32 keys pay a total-order comparator, ~5x
-        # slower): bitcast of a non-negative float preserves order, so
-        # -bitcast(w) sorts descending by weight with dead (w=0) slots last
+        # monotonic int key: bitcast of a non-negative float preserves order,
+        # so -bitcast(w) sorts descending by weight with dead (w=0) slots last
         w = s["weights"]
         w = jnp.where(jnp.isfinite(w), w, 0.0)
         key = -lax.bitcast_convert_type(w, jnp.int32)
@@ -357,9 +353,10 @@ def compact_splats(cfg: GSRendererConfig, splats: Dict) -> Dict:
             "sh": jnp.stack(srt[12:], -1).reshape(cap, *s["sh"].shape[1:]),
         }
 
-    return jax.vmap(one)({k: splats[k] for k in
-                          ("means", "quats", "scales", "opacities", "sh",
-                           "weights")})
+    # static batch loop — vmapped lax.sort is ~8x slower (see voxel_prune)
+    keys = ("means", "quats", "scales", "opacities", "sh", "weights")
+    outs = [one({k: splats[k][b] for k in keys}) for b in range(B)]
+    return {k: jnp.stack([o[k] for o in outs]) for k in outs[0]}
 
 
 def render(params, cfg: GSRendererConfig, gs_feats: jnp.ndarray,
