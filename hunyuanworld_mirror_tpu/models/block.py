@@ -76,13 +76,22 @@ def attention(p, x: jnp.ndarray, num_heads: int,
 def block_init(key, dim: int, num_heads: int, mlp_ratio: float = 4.0,
                qkv_bias: bool = True, proj_bias: bool = True,
                ffn_bias: bool = True, init_values: Optional[float] = None,
-               qk_norm: bool = False):
+               qk_norm: bool = False, ffn_layer: str = "mlp"):
     k1, k2 = jax.random.split(key)
+    if ffn_layer == "mlp":
+        ffn = nn.mlp_init(k2, dim, int(dim * mlp_ratio), dim, ffn_bias)
+    elif ffn_layer in ("swiglu", "swiglufused"):
+        # reference vision_transformer.py:119-121: both names use the fused
+        # (2/3-rounded) hidden width
+        hidden = nn.swiglu_hidden_fused(int(dim * mlp_ratio))
+        ffn = nn.swiglu_ffn_init(k2, dim, hidden, dim, ffn_bias)
+    else:
+        raise ValueError(f"unknown ffn_layer {ffn_layer!r}")
     p = {
         "norm1": nn.layer_norm_init(dim),
         "attn": attention_init(k1, dim, num_heads, qkv_bias, proj_bias, qk_norm),
         "norm2": nn.layer_norm_init(dim),
-        "mlp": nn.mlp_init(k2, dim, int(dim * mlp_ratio), dim, ffn_bias),
+        "mlp": ffn,
     }
     if init_values:
         p["ls1"] = nn.layer_scale_init(dim, init_values)
@@ -100,7 +109,8 @@ def block(p, x: jnp.ndarray, num_heads: int,
         h = nn.layer_scale(p["ls1"], h)
     x = x + h
 
-    h = nn.mlp(p["mlp"], nn.layer_norm(p["norm2"], x, eps=norm_eps))
+    y = nn.layer_norm(p["norm2"], x, eps=norm_eps)
+    h = nn.swiglu_ffn(p["mlp"], y) if "w12" in p["mlp"] else nn.mlp(p["mlp"], y)
     if "ls2" in p:
         h = nn.layer_scale(p["ls2"], h)
     return x + h

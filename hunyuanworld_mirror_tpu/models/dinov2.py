@@ -34,12 +34,15 @@ class DinoViTConfig:
     num_register_tokens: int = 4
     init_values: float = 1.0
     norm_eps: float = 1e-6
+    ffn_layer: str = "mlp"
 
 
 VIT_SMALL = DinoViTConfig(embed_dim=384, depth=12, num_heads=6)
 VIT_BASE = DinoViTConfig(embed_dim=768, depth=12, num_heads=12)
 VIT_LARGE = DinoViTConfig(embed_dim=1024, depth=24, num_heads=16)
-VIT_GIANT2 = DinoViTConfig(embed_dim=1536, depth=40, num_heads=24)
+# giant2 uses the fused SwiGLU FFN (reference vision_transformer.py:378-392)
+VIT_GIANT2 = DinoViTConfig(embed_dim=1536, depth=40, num_heads=24,
+                           ffn_layer="swiglufused")
 
 VIT_FACTORIES = {
     "dinov2_vits14_reg": VIT_SMALL,
@@ -54,7 +57,7 @@ def init(key, cfg: DinoViTConfig):
     keys = jax.random.split(key, cfg.depth + 4)
     blocks = [
         block_init(keys[i], cfg.embed_dim, cfg.num_heads, cfg.mlp_ratio,
-                   init_values=cfg.init_values)
+                   init_values=cfg.init_values, ffn_layer=cfg.ffn_layer)
         for i in range(cfg.depth)
     ]
     return {

@@ -133,6 +133,32 @@ def silu_mlp(p, x):
     return linear(p["fc2"], x)
 
 
+def swiglu_hidden_fused(hidden_dim: int) -> int:
+    """'Fused' hidden rounding: 2/3 of the MLP width, aligned up to 8
+    (reference src/models/layers/swiglu_ffn.py:49-62 SwiGLUFFNFused)."""
+    return (int(hidden_dim * 2 / 3) + 7) // 8 * 8
+
+
+def swiglu_ffn_init(key, in_dim: int, hidden_dim: Optional[int] = None,
+                    out_dim: Optional[int] = None, bias: bool = True):
+    """SwiGLU FFN (reference src/models/layers/swiglu_ffn.py:9-29): one fused
+    projection to 2*hidden, gate with silu(x1)*x2, project back. Used by the
+    DINOv2 ViT-giant2 encoder (vision_transformer.py:119-121,378-392)."""
+    hidden_dim = hidden_dim or in_dim
+    out_dim = out_dim or in_dim
+    k1, k2 = _split(key, 2)
+    return {
+        "w12": linear_init(k1, in_dim, 2 * hidden_dim, bias),
+        "w3": linear_init(k2, hidden_dim, out_dim, bias),
+    }
+
+
+def swiglu_ffn(p, x):
+    x12 = linear(p["w12"], x)
+    x1, x2 = jnp.split(x12, 2, axis=-1)
+    return linear(p["w3"], jax.nn.silu(x1) * x2)
+
+
 def group_norm_init(dim: int):
     return {"scale": jnp.ones((dim,), jnp.float32),
             "bias": jnp.zeros((dim,), jnp.float32)}

@@ -55,6 +55,28 @@ class TestDinoV2Parity:
                                        dtype=jnp.float32)
         np.testing.assert_allclose(np.asarray(ours), ref, atol=2e-4)
 
+    def test_vit_swiglu_features(self, torch_mods, rng):
+        """giant2-style SwiGLUFFNFused blocks (reference swiglu_ffn.py:49-62,
+        vision_transformer.py:378-392) — run a small-width stand-in."""
+        torch, *_ = torch_mods
+        from src.models.layers.vision_transformer import DinoVisionTransformer
+        model = DinoVisionTransformer(
+            img_size=112, patch_size=14, embed_dim=96, depth=2, num_heads=3,
+            num_register_tokens=4, init_values=1.0, block_chunks=0,
+            ffn_layer="swiglufused", interpolate_antialias=True,
+            interpolate_offset=0.0).eval()
+        x = rng.uniform(size=(1, 3, 112, 112)).astype(np.float32)
+        with torch.no_grad():
+            ref = model.forward_features(torch.from_numpy(x))["x_norm_patchtokens"].numpy()
+
+        cfg = dinov2.DinoViTConfig(img_size=112, patch_size=14, embed_dim=96,
+                                   depth=2, num_heads=3, ffn_layer="swiglufused")
+        params = cw.convert_dinov2(_sd(model))
+        ours = dinov2.forward_features(params, cfg,
+                                       jnp.asarray(x.transpose(0, 2, 3, 1)),
+                                       dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(ours), ref, atol=2e-4)
+
 
 class TestVGTParity:
     @pytest.mark.parametrize("cond", [(0, 0, 0), (1, 1, 1)])

@@ -54,6 +54,10 @@ def _conv_t(sd, prefix):
 
 
 def _mlp(sd, prefix):
+    if f"{prefix}.w12.weight" in sd:
+        # SwiGLUFFN(Fused) (reference swiglu_ffn.py:9-62, ViT-giant2 blocks)
+        return {"w12": _linear(sd, f"{prefix}.w12"),
+                "w3": _linear(sd, f"{prefix}.w3")}
     return {"fc1": _linear(sd, f"{prefix}.fc1"), "fc2": _linear(sd, f"{prefix}.fc2")}
 
 
