@@ -50,6 +50,12 @@ class GSRendererConfig:
     # max_gaussians cap, rasterization.py:109).
     enable_compact: bool = True
     compact_fraction: float = 0.5
+    # Where splat means come from (reference rasterization.py:389-498):
+    #   "pts3d"                — the world-point head's output directly
+    #   "preddepth+predcamera" — unproject the depth head through pred cams
+    #   "gsdepth+predcamera"   — unproject gs_depth through pred cams (default)
+    #   "gsdepth+gtcamera"     — unproject gs_depth through GT cams in `views`
+    position_from: str = "gsdepth+predcamera"
     render_chunk: int = 4
     # Binning caps: pixel-aligned splats project to a few px (radius <= 8px
     # spans at most a 2x2 tile box -> 4 slots); rasterize meta's n_dropped
@@ -110,11 +116,14 @@ def _gs_head_apply(params, feats: jnp.ndarray) -> jnp.ndarray:
 
 
 def prepare_splats(cfg: GSRendererConfig, gs_params: jnp.ndarray,
-                   images: jnp.ndarray, predictions: Dict) -> Dict:
+                   images: jnp.ndarray, predictions: Dict,
+                   views: Optional[Dict] = None) -> Dict:
     """Raw head output -> activated splat dict (B, N=S*H*W, ...).
 
-    Means come from unprojecting gs_depth through the predicted cameras
-    (position_from="gsdepth+predcamera", reference rasterization.py:469-484).
+    Means follow `cfg.position_from` (reference rasterization.py:389-498);
+    the default unprojects gs_depth through the predicted cameras. The
+    "gsdepth+gtcamera" mode reads `views["camera_pose"]` (B, S, 4, 4 c2w) and
+    `views["camera_intrinsics"]` (B, S, 3, 3).
     """
     B, S, H, W, _ = images.shape
     N = S * H * W
@@ -147,10 +156,27 @@ def prepare_splats(cfg: GSRendererConfig, gs_params: jnp.ndarray,
     else:
         splats["sh"] = residual_sh
 
-    depth = predictions["gs_depth"].reshape(B * S, H, W)
-    ext, intr = cam_utils.vector_to_camera_matrices(
-        predictions["camera_params"].reshape(B * S, 9), (H, W))
-    c2w = cam_utils.se3_inverse(cam_utils.to_homogeneous(ext))
+    mode = cfg.position_from
+    if mode == "pts3d":
+        splats["means"] = predictions["pts3d"].reshape(B, N, 3) + offsets
+        return splats
+
+    if mode in ("preddepth+predcamera", "gsdepth+predcamera"):
+        key = "depth" if mode.startswith("preddepth") else "gs_depth"
+        depth = predictions[key].reshape(B * S, H, W)
+        ext, intr = cam_utils.vector_to_camera_matrices(
+            predictions["camera_params"].reshape(B * S, 9), (H, W))
+        c2w = cam_utils.se3_inverse(cam_utils.to_homogeneous(ext))
+    elif mode == "gsdepth+gtcamera":
+        if views is None or "camera_pose" not in views:
+            raise ValueError("position_from='gsdepth+gtcamera' needs "
+                             "views['camera_pose'] / ['camera_intrinsics']")
+        depth = predictions["gs_depth"].reshape(B * S, H, W)
+        c2w = views["camera_pose"].reshape(B * S, 4, 4)
+        intr = views["camera_intrinsics"].reshape(B * S, 3, 3)
+    else:
+        raise ValueError(f"invalid position_from={mode!r}")
+
     pts3d, _, _ = geometry.depth_to_world_coords_points(
         depth, lax.stop_gradient(c2w), lax.stop_gradient(intr))
     splats["means"] = pts3d.reshape(B, N, 3) + offsets
@@ -361,7 +387,7 @@ def compact_splats(cfg: GSRendererConfig, splats: Dict) -> Dict:
 
 def render(params, cfg: GSRendererConfig, gs_feats: jnp.ndarray,
            images: jnp.ndarray, predictions: Dict,
-           do_render: bool = True) -> Dict:
+           do_render: bool = True, views: Optional[Dict] = None) -> Dict:
     """Full GS pipeline: head conv -> splats -> (filter/prune) -> rasterize.
 
     Args:
@@ -372,7 +398,7 @@ def render(params, cfg: GSRendererConfig, gs_feats: jnp.ndarray,
     """
     B, S, H, W, _ = images.shape
     gs_params = _gs_head_apply(params, gs_feats.reshape(B * S, H, W, -1))
-    splats = prepare_splats(cfg, gs_params, images, predictions)
+    splats = prepare_splats(cfg, gs_params, images, predictions, views=views)
 
     if cfg.enable_conf_filter and "gs_depth_conf" in predictions:
         splats = confidence_filter(cfg, splats, predictions["gs_depth_conf"])

@@ -43,6 +43,9 @@ class WorldMirrorConfig:
     trunk_heads: int = 16
     intermediate_idxs: tuple = (4, 11, 17, 23)
     rasterizer_impl: str = "jax"
+    # splat-mean source (reference rasterization.py:389-498); see
+    # gaussians.GSRendererConfig.position_from
+    gs_position_from: str = "gsdepth+predcamera"
 
     @property
     def vgt(self) -> VGTConfig:
@@ -83,7 +86,8 @@ class WorldMirrorConfig:
         from .gaussians import GSRendererConfig
         return GSRendererConfig(feature_dim=self.gs_dim, sh_degree=self.sh_degree,
                                 voxel_size=self.voxel_size,
-                                rasterizer_impl=self.rasterizer_impl)
+                                rasterizer_impl=self.rasterizer_impl,
+                                position_from=self.gs_position_from)
 
 
 def init(key, cfg: WorldMirrorConfig):
@@ -196,6 +200,6 @@ def forward(params, cfg: WorldMirrorConfig, views: Dict[str, jnp.ndarray],
         preds = gaussians.render(
             params["gs_renderer"], cfg.gs_renderer,
             gs_feats=gs_feat, images=imgs, predictions=preds,
-            do_render=render)
+            do_render=render, views=views)
 
     return preds

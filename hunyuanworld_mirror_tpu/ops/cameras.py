@@ -160,3 +160,96 @@ def fully_fused_projection_ut(
     return finish_projection(m2d, cov2d, dep, width, height, eps2d,
                              near_plane, far_plane, calc_compensations,
                              extra_valid=extra)
+
+
+# ---------------------------------------------------------------------------
+# Inverse camera models: pixels -> world rays (for world-space eval3d
+# rasterization, reference RasterizeToPixelsFromWorld3DGSFwd.cu:92-146 and
+# Cameras.cuh image_point_to_world_ray_shutter_pose).
+# ---------------------------------------------------------------------------
+
+def undistort_opencv(xy_d: jnp.ndarray, radial: jnp.ndarray,
+                     tangential: Optional[jnp.ndarray] = None,
+                     iters: int = 10) -> jnp.ndarray:
+    """Invert distort_opencv by fixed-point iteration on normalized coords."""
+    k = jnp.zeros(xy_d.shape[:-1] + (6,), xy_d.dtype)
+    k = k.at[..., :radial.shape[-1]].set(radial)
+
+    def step(xy, _):
+        x, y = xy[..., 0], xy[..., 1]
+        r2 = x * x + y * y
+        r4, r6 = r2 * r2, r2 * r2 * r2
+        num = 1.0 + k[..., 0] * r2 + k[..., 1] * r4 + k[..., 2] * r6
+        den = 1.0 + k[..., 3] * r2 + k[..., 4] * r4 + k[..., 5] * r6
+        scale = num / den
+        dx = dy = 0.0
+        if tangential is not None:
+            p1, p2 = tangential[..., 0], tangential[..., 1]
+            dx = 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+            dy = p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
+        nxt = jnp.stack([(xy_d[..., 0] - dx) / scale,
+                         (xy_d[..., 1] - dy) / scale], -1)
+        return nxt, None
+
+    xy, _ = jax.lax.scan(step, xy_d, None, length=iters)
+    return xy
+
+
+def _invert_fisheye_theta(rd: jnp.ndarray, radial: Optional[jnp.ndarray],
+                          iters: int = 10) -> jnp.ndarray:
+    """Solve rd = theta * (1 + k1 th^2 + ... + k4 th^8) for theta (Newton)."""
+    if radial is None:
+        return rd
+    k = jnp.zeros(rd.shape + (4,), rd.dtype)
+    k = k.at[..., :radial.shape[-1]].set(radial)
+
+    def step(theta, _):
+        th2 = theta * theta
+        poly = 1.0 + k[..., 0] * th2 + k[..., 1] * th2 ** 2 \
+            + k[..., 2] * th2 ** 3 + k[..., 3] * th2 ** 4
+        dpoly = (3.0 * k[..., 0] * th2 + 5.0 * k[..., 1] * th2 ** 2
+                 + 7.0 * k[..., 2] * th2 ** 3 + 9.0 * k[..., 3] * th2 ** 4)
+        f = theta * poly - rd
+        df = poly + dpoly
+        return theta - f / jnp.maximum(jnp.abs(df), 1e-8) * jnp.sign(df), None
+
+    theta, _ = jax.lax.scan(step, rd, None, length=iters)
+    return theta
+
+
+def image_point_to_world_ray(
+    px_xy: jnp.ndarray,           # (..., 2) pixel coords
+    viewmat: jnp.ndarray,         # (4, 4) world->cam
+    K: jnp.ndarray,               # (3, 3)
+    camera_model: str = PINHOLE,
+    radial: Optional[jnp.ndarray] = None,       # (k,)
+    tangential: Optional[jnp.ndarray] = None,   # (2,)
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Pixels -> (camera origin (3,), unit world ray dirs (..., 3)).
+
+    Inverts camera_project for the supported models; global shutter (the
+    reference's rolling-shutter poses collapse to this when start==end pose).
+    """
+    xd = (px_xy[..., 0] - K[0, 2]) / K[0, 0]
+    yd = (px_xy[..., 1] - K[1, 2]) / K[1, 1]
+    xy = jnp.stack([xd, yd], -1)
+
+    if camera_model == FISHEYE:
+        rd = jnp.linalg.norm(xy, axis=-1)
+        theta = _invert_fisheye_theta(rd, radial)
+        s = jnp.where(rd > 1e-8, jnp.sin(theta) / jnp.maximum(rd, 1e-8), 1.0)
+        dirs_c = jnp.stack([xy[..., 0] * s, xy[..., 1] * s,
+                            jnp.cos(theta)], -1)
+    else:
+        if radial is not None or tangential is not None:
+            xy = undistort_opencv(
+                xy, radial if radial is not None else jnp.zeros((1,)),
+                tangential)
+        dirs_c = jnp.concatenate([xy, jnp.ones_like(xy[..., :1])], -1)
+        dirs_c = dirs_c / jnp.linalg.norm(dirs_c, axis=-1, keepdims=True)
+
+    R = viewmat[:3, :3]
+    t = viewmat[:3, 3]
+    origin = -jnp.einsum("ij,i->j", R, t, precision="highest")
+    dirs_w = jnp.einsum("ij,...i->...j", R, dirs_c, precision="highest")
+    return origin, dirs_w

@@ -121,10 +121,102 @@ def rasterize_binned_jax(
     return img[:height, :width], alpha[:height, :width, None]
 
 
+def _blend_tile_world(means, iscl_rots, colors, opacities, live,
+                      ray_o, ray_d):
+    """World-space (eval3d) blend: each Gaussian is evaluated at its closest
+    approach to the pixel ray in its own normalized frame (reference
+    RasterizeToPixelsFromWorld3DGSFwd.cu:249-276).
+
+    Args:
+      means (K, 3), iscl_rots (K, 3, 3) = diag(1/s) R^T, colors (K, D),
+      opacities (K,), live (K,), ray_o (3,), ray_d (P, 3) world unit dirs.
+    Returns (out (P, D), alpha (P,)).
+    """
+    gro = jnp.einsum("kij,kj->ki", iscl_rots, ray_o[None] - means,
+                     precision="highest")                      # (K, 3)
+    grd = jnp.einsum("kij,pj->kpi", iscl_rots, ray_d,
+                     precision="highest")                      # (K, P, 3)
+    grd = grd / jnp.maximum(
+        jnp.linalg.norm(grd, axis=-1, keepdims=True), 1e-12)
+    cr = jnp.cross(grd, gro[:, None, :])                       # (K, P, 3)
+    gray_dist = jnp.sum(cr * cr, axis=-1)                      # (K, P)
+
+    alpha = jnp.minimum(0.999, opacities[:, None] * jnp.exp(-0.5 * gray_dist))
+    keep = (alpha >= ALPHA_THRESHOLD) & live[:, None]
+    alpha = jnp.where(keep, alpha, 0.0)
+
+    lg = jnp.log1p(-alpha)
+    T_before = jnp.exp(jnp.cumsum(lg, axis=0) - lg)
+    tripped = (T_before * (1.0 - alpha) <= T_EPS) & (alpha > 0)
+    stopped = jnp.cumsum(tripped, axis=0) > 0
+    w = jnp.where(stopped, 0.0, alpha * T_before)
+
+    out = jnp.einsum("kp,kd->pd", w, colors, precision="highest")
+    return out, jnp.sum(w, axis=0)
+
+
+def rasterize_binned_world_jax(
+    means: jnp.ndarray, iscl_rots: jnp.ndarray, colors: jnp.ndarray,
+    opacities: jnp.ndarray, bins: tiles.TileBins,
+    ray_o: jnp.ndarray, ray_dirs: jnp.ndarray,
+    width: int, height: int, tile_size: int,
+    tile_batch: int = 8,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """World-space rasterization from dense tile bins.
+
+    `ray_dirs` is (th*ts, tw*ts, 3) — unit world dirs for the PADDED pixel
+    grid; binning (by UT/EWA-projected footprints) is shared with the 2D path.
+    """
+    tw = (width + tile_size - 1) // tile_size
+    th = (height + tile_size - 1) // tile_size
+    n_tiles = tw * th
+    K = bins.gauss_ids.shape[1]
+    D = colors.shape[-1]
+    P = tile_size * tile_size
+
+    # (n_tiles, P, 3) tile-major ray layout
+    rays = ray_dirs.reshape(th, tile_size, tw, tile_size, 3)
+    rays = rays.transpose(0, 2, 1, 3, 4).reshape(n_tiles, P, 3)
+
+    pad = (-n_tiles) % tile_batch
+    ids = jnp.concatenate([bins.gauss_ids,
+                           jnp.zeros((pad, K), jnp.int32)]) if pad else bins.gauss_ids
+    counts = jnp.concatenate([bins.counts,
+                              jnp.zeros((pad,), jnp.int32)]) if pad else bins.counts
+    rays_p = jnp.concatenate([rays, jnp.zeros((pad, P, 3))]) if pad else rays
+
+    def tile_fn(tile_gauss, tile_count, tile_rays):
+        live = jnp.arange(K, dtype=jnp.int32) < tile_count
+        return _blend_tile_world(means[tile_gauss], iscl_rots[tile_gauss],
+                                 colors[tile_gauss], opacities[tile_gauss],
+                                 live, ray_o, tile_rays)
+
+    def batch_fn(_, batch):
+        gids, cnts, rys = batch
+        out, a = jax.vmap(tile_fn)(gids, cnts, rys)
+        return None, (out, a)
+
+    _, (out_tiles, alpha_tiles) = lax.scan(
+        batch_fn, None,
+        (ids.reshape(-1, tile_batch, K),
+         counts.reshape(-1, tile_batch),
+         rays_p.reshape(-1, tile_batch, P, 3)))
+
+    out_tiles = out_tiles.reshape(-1, P, D)[:n_tiles]
+    alpha_tiles = alpha_tiles.reshape(-1, P)[:n_tiles]
+    out_tiles = out_tiles.reshape(th, tw, tile_size, tile_size, D)
+    alpha_tiles = alpha_tiles.reshape(th, tw, tile_size, tile_size)
+    img = out_tiles.transpose(0, 2, 1, 3, 4).reshape(
+        th * tile_size, tw * tile_size, D)
+    alpha = alpha_tiles.transpose(0, 2, 1, 3).reshape(
+        th * tile_size, tw * tile_size)
+    return img[:height, :width], alpha[:height, :width, None]
+
+
 @partial(jax.jit, static_argnames=(
     "width", "height", "tile_size", "render_mode", "max_per_tile",
     "max_tiles_per_gauss", "impl", "calc_compensations", "quat_order",
-    "camera_model"))
+    "camera_model", "with_eval3d"))
 def rasterize(
     means: jnp.ndarray,      # (N, 3) world-space
     quats: jnp.ndarray,      # (N, 4) — `quat_order` selects XYZW (framework
@@ -148,12 +240,19 @@ def rasterize(
     camera_model: str = "pinhole",
     radial_coeffs: Optional[jnp.ndarray] = None,      # (C, k) distortion
     tangential_coeffs: Optional[jnp.ndarray] = None,  # (C, 2)
+    with_eval3d: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Dict]:
     """gsplat.rasterization equivalent (dense single-batch layout).
 
     camera_model "fisheye" or any distortion coeffs switch projection to the
     unscented transform (ops/cameras.py, reference ProjectionUT3DGSFused.cu);
     the tile pipeline downstream is shared.
+
+    `with_eval3d=True` evaluates each Gaussian in world space at its closest
+    approach to the per-pixel camera ray (reference
+    RasterizeToPixelsFromWorld3DGSFwd.cu) instead of via the projected 2D
+    conic — exact under distortion/fisheye where the EWA footprint is only a
+    binning approximation.
 
     Returns (render_colors (C, H, W, D[+1]), render_alphas (C, H, W, 1), meta).
     """
@@ -180,6 +279,15 @@ def rasterize(
     # an (8, 128) TPU tile and costs ~50 ms/M splats of pure HBM traffic.
     covars = (projection.quat_scale_to_covar(quats, scales) if use_ut
               else projection.quat_scale_to_covar_planes(quats, scales))
+
+    iscl_rots = None
+    if with_eval3d:
+        # diag(1/s) R(q)^T per splat (reference ...FromWorld3DGSFwd.cu:219-236)
+        from ..utils.rotation import quat_to_rotmat
+        Rg = quat_to_rotmat(
+            quats / jnp.linalg.norm(quats, axis=-1, keepdims=True))
+        iscl_rots = jnp.swapaxes(Rg, -1, -2) / \
+            jnp.maximum(scales, 1e-12)[..., :, None]
 
     def per_camera(args):
         viewmat, K, rad_c, tang_c = args
@@ -222,7 +330,27 @@ def rasterize(
         elif render_mode in ("D", "ED"):
             col = dep[..., None]
 
-        if impl == "pallas":
+        if with_eval3d:
+            # bin by the projected footprint, blend in world space with the
+            # RAW opacities: eps2d dilation/compensation is a 2D-footprint
+            # artifact that does not apply to exact ray-space evaluation
+            op = opacities
+            from . import cameras as cam_models
+            bins = tiles.bin_gaussians(m2d, rad, dep, tile_size, tw, th,
+                                       max_tiles_per_gauss, max_per_tile)
+            gy, gx = jnp.meshgrid(
+                jnp.arange(th * tile_size, dtype=jnp.float32) + 0.5,
+                jnp.arange(tw * tile_size, dtype=jnp.float32) + 0.5,
+                indexing="ij")
+            ray_o, ray_d = cam_models.image_point_to_world_ray(
+                jnp.stack([gx, gy], -1), viewmat, K,
+                camera_model=camera_model,
+                radial=rad_c, tangential=tang_c)
+            out, alpha = rasterize_binned_world_jax(
+                means, iscl_rots, col, op, bins, ray_o, ray_d,
+                width, height, tile_size)
+            n_drop = bins.n_dropped
+        elif impl == "pallas":
             # flat sorted-list path: payload rides the isect sort; no dense
             # per-tile gathers (see rasterizer_pallas._kernel_flat)
             from .rasterizer_pallas import rasterize_flat_pallas

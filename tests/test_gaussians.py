@@ -105,3 +105,55 @@ def test_voxel_prune_dead_splats_stay_dead():
     jx = {k: jnp.asarray(v) for k, v in splats.items()}
     merged = G.voxel_prune(cfg, jx)
     assert np.asarray(merged["opacities"]).max() == 0.0
+
+
+def test_position_from_variants():
+    """prepare_splats position modes (reference rasterization.py:389-498)."""
+    import jax
+    from hunyuanworld_mirror_tpu.utils import camera as cam_utils
+
+    rng = np.random.default_rng(0)
+    B, S, H, W = 1, 2, 4, 4
+    N = S * H * W
+    imgs = jnp.asarray(rng.uniform(size=(B, S, H, W, 3)).astype(np.float32))
+
+    # identity-ish cameras: vector = [t=0, quat xyzw=(0,0,0,1), fovs]
+    cam_vec = np.zeros((B, S, 9), np.float32)
+    cam_vec[..., 6] = 1.0
+    cam_vec[..., 7:] = 0.9
+    preds = {
+        "camera_params": jnp.asarray(cam_vec),
+        "pts3d": jnp.asarray(rng.normal(size=(B, S, H, W, 3)).astype(np.float32)),
+        "depth": jnp.full((B, S, H, W, 1), 2.0),
+        "gs_depth": jnp.full((B, S, H, W, 1), 3.0),
+    }
+    views = {
+        "camera_pose": jnp.tile(jnp.eye(4), (B, S, 1, 1)),
+        "camera_intrinsics": jnp.asarray(
+            np.tile(np.array([[4.0, 0, 2], [0, 4.0, 2], [0, 0, 1]],
+                             np.float32), (B, S, 1, 1))),
+    }
+    cfg0 = G.GSRendererConfig()
+    key = jax.random.PRNGKey(0)
+    params = G.init(key, cfg0)
+    feat = jnp.asarray(rng.normal(size=(B * S, H, W, cfg0.raw_channels)).astype(np.float32))
+
+    def prep(mode):
+        import dataclasses
+        cfg = dataclasses.replace(cfg0, position_from=mode)
+        raw = jnp.asarray(rng.normal(size=(B * S, H, W, cfg.raw_channels)).astype(np.float32) * 0)
+        return G.prepare_splats(cfg, raw, imgs, preds, views=views)
+
+    # pts3d mode returns the point head verbatim (zero offsets)
+    np.testing.assert_allclose(np.asarray(prep("pts3d")["means"]),
+                               np.asarray(preds["pts3d"]).reshape(B, N, 3))
+
+    # gt-camera mode: identity pose, depth 3.0 -> z == 3 everywhere
+    m = np.asarray(prep("gsdepth+gtcamera")["means"]).reshape(B, S, H, W, 3)
+    np.testing.assert_allclose(m[..., 2], 3.0, atol=1e-6)
+
+    # preddepth vs gsdepth differ by the depth scale (2 vs 3) through the
+    # same predicted camera
+    mp = np.asarray(prep("preddepth+predcamera")["means"])
+    mg = np.asarray(prep("gsdepth+predcamera")["means"])
+    np.testing.assert_allclose(mp * 1.5, mg, atol=1e-5)
