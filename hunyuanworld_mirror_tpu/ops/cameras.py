@@ -24,6 +24,80 @@ from .projection import Projected, finish_projection, quat_scale_to_covar
 
 PINHOLE = "pinhole"
 FISHEYE = "fisheye"
+FTHETA = "ftheta"
+ORTHO = "ortho"
+
+# FThetaParams.reference_poly values (reference cuda/_wrapper.py:66-72
+# FThetaPolynomialType): which of the two polynomials is authoritative —
+# the other direction is recovered by Newton inversion.
+PIXELDIST_TO_ANGLE = "pixeldist_to_angle"
+ANGLE_TO_PIXELDIST = "angle_to_pixeldist"
+
+
+class FThetaParams(NamedTuple):
+    """NVIDIA f-theta camera distortion (reference Cameras.cuh:1049-1195,
+    cuda/_wrapper.py:75-94 FThetaCameraDistortionParameters).
+
+    The radial mapping is pixel_dist = f(theta) given directly as a degree-5
+    polynomial (`angle_to_pixeldist_poly`) or implicitly as its inverse
+    (`pixeldist_to_angle_poly`); `linear_cde` is the 2x2 skew [[c, d], [e, 1]]
+    applied to the distorted offset before adding the principal point. The
+    focal entries of K are unused — scale is baked into the polynomials; only
+    the principal point (cx, cy) is read, offset by +0.5 because the f-theta
+    convention puts the image origin at the first pixel's center
+    (Cameras.cuh:1073-1077). All fields are plain floats/tuples so the params
+    are hashable and ride through jit as static arguments.
+    """
+    reference_poly: str = ANGLE_TO_PIXELDIST
+    pixeldist_to_angle_poly: Tuple[float, ...] = (0.0,) * 6
+    angle_to_pixeldist_poly: Tuple[float, ...] = (0.0,) * 6
+    max_angle: float = 3.141592653589793
+    linear_cde: Tuple[float, float, float] = (1.0, 0.0, 0.0)
+
+
+def _horner(coeffs, x: jnp.ndarray) -> jnp.ndarray:
+    acc = jnp.full_like(x, float(coeffs[-1]))
+    for c in reversed(coeffs[:-1]):
+        acc = acc * x + float(c)
+    return acc
+
+
+def _poly_deriv(coeffs) -> Tuple[float, ...]:
+    return tuple(float((i + 1) * c) for i, c in enumerate(coeffs[1:]))
+
+
+def _newton_invert_poly(ref, approx, y: jnp.ndarray,
+                        iters: int = 3) -> jnp.ndarray:
+    """Solve ref(x) = y for x, seeded with x0 = approx(y) (reference
+    Cameras.cuh eval_poly_inverse_horner_newton; default 3 iterations)."""
+    dref = _poly_deriv(ref)
+    x = _horner(approx, y)
+    for _ in range(iters):
+        f = _horner(ref, x) - y
+        df = _horner(dref, x)
+        safe = jnp.where(jnp.abs(df) > 1e-12, df, 1e-12)
+        x = x - f / safe
+    return x
+
+
+def project_ftheta(means_c: jnp.ndarray, K: jnp.ndarray,
+                   ftheta: FThetaParams) -> jnp.ndarray:
+    """Camera-frame points (..., 3) -> f-theta pixels (reference
+    Cameras.cuh:1083-1140 camera_ray_to_image_point)."""
+    x, y, z = means_c[..., 0], means_c[..., 1], means_c[..., 2]
+    r = jnp.maximum(jnp.sqrt(x * x + y * y), 1e-12)
+    theta = jnp.minimum(jnp.arctan2(r, z), ftheta.max_angle)
+    if ftheta.reference_poly == PIXELDIST_TO_ANGLE:
+        delta = _newton_invert_poly(ftheta.pixeldist_to_angle_poly,
+                                    ftheta.angle_to_pixeldist_poly, theta)
+    else:
+        delta = _horner(ftheta.angle_to_pixeldist_poly, theta)
+    c, d, e = ftheta.linear_cde
+    ipx = delta * x / r
+    ipy = delta * y / r
+    u = c * ipx + d * ipy + K[..., 0, 2] + 0.5
+    v = e * ipx + ipy + K[..., 1, 2] + 0.5
+    return jnp.stack([u, v], -1)
 
 
 def distort_opencv(xy: jnp.ndarray, radial: jnp.ndarray,
@@ -73,10 +147,18 @@ def project_fisheye(means_c: jnp.ndarray, K: jnp.ndarray,
 def camera_project(means_c: jnp.ndarray, K: jnp.ndarray,
                    camera_model: str = PINHOLE,
                    radial: Optional[jnp.ndarray] = None,
-                   tangential: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                   tangential: Optional[jnp.ndarray] = None,
+                   ftheta: Optional[FThetaParams] = None) -> jnp.ndarray:
     """Camera-frame points (..., 3) -> pixels (..., 2) under the model."""
     if camera_model == FISHEYE:
         return project_fisheye(means_c, K, radial)
+    if camera_model == FTHETA:
+        return project_ftheta(means_c, K,
+                              ftheta if ftheta is not None else FThetaParams())
+    if camera_model == ORTHO:
+        u = K[..., 0, 0] * means_c[..., 0] + K[..., 0, 2]
+        v = K[..., 1, 1] * means_c[..., 1] + K[..., 1, 2]
+        return jnp.stack([u, v], -1)
     z = jnp.maximum(means_c[..., 2], 1e-8)
     xy = means_c[..., :2] / z[..., None]
     if radial is not None or tangential is not None:
@@ -117,6 +199,7 @@ def fully_fused_projection_ut(
     camera_model: str = PINHOLE,
     radial_coeffs: Optional[jnp.ndarray] = None,     # (C, k) per camera
     tangential_coeffs: Optional[jnp.ndarray] = None,  # (C, 2)
+    ftheta_coeffs: Optional[FThetaParams] = None,    # shared across cameras
     eps2d: float = 0.3, near_plane: float = 0.01, far_plane: float = 1e10,
     calc_compensations: bool = False,
 ) -> Projected:
@@ -133,7 +216,8 @@ def fully_fused_projection_ut(
         pts_c = jnp.einsum("ij,nsj->nsi", Rc, pts_w) + tc          # (N, 7, 3)
         uv = camera_project(pts_c, K, camera_model,
                             None if rad is None else rad,
-                            None if tang is None else tang)         # (N, 7, 2)
+                            None if tang is None else tang,
+                            ftheta=ftheta_coeffs)                   # (N, 7, 2)
         mean2d = jnp.einsum("s,nsi->ni", w_m, uv)
         d = uv - mean2d[:, None, :]
         cov2d = jnp.einsum("s,nsi,nsj->nij", w_c, d, d)
@@ -157,6 +241,14 @@ def fully_fused_projection_ut(
     extra = None
     if camera_model == FISHEYE:
         extra = dep > 0
+    elif camera_model == FTHETA:
+        # frontal hemisphere AND inside the polynomial's valid cone
+        # (reference Cameras.cuh:1099-1106: FOV-clamped projections invalid)
+        fth = ftheta_coeffs if ftheta_coeffs is not None else FThetaParams()
+        means_c = jnp.einsum("cij,nj->cni", R, means) + t[:, None, :]
+        r_xy = jnp.linalg.norm(means_c[..., :2], axis=-1)
+        theta = jnp.arctan2(r_xy, means_c[..., 2])
+        extra = (dep > 0) & (theta <= fth.max_angle)
     return finish_projection(m2d, cov2d, dep, width, height, eps2d,
                              near_plane, far_plane, calc_compensations,
                              extra_valid=extra)
@@ -224,12 +316,41 @@ def image_point_to_world_ray(
     camera_model: str = PINHOLE,
     radial: Optional[jnp.ndarray] = None,       # (k,)
     tangential: Optional[jnp.ndarray] = None,   # (2,)
+    ftheta: Optional[FThetaParams] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Pixels -> (camera origin (3,), unit world ray dirs (..., 3)).
 
     Inverts camera_project for the supported models; global shutter (the
     reference's rolling-shutter poses collapse to this when start==end pose).
     """
+    if camera_model == FTHETA:
+        # reference Cameras.cuh:1142-1195 image_point_to_camera_ray: undo the
+        # linear skew A=[c,d;e,1] via A^-1=[1,-d;-e,c]/(c-ed), then invert the
+        # radial polynomial for theta.
+        fth = ftheta if ftheta is not None else FThetaParams()
+        c, d, e = fth.linear_cde
+        ipx = px_xy[..., 0] - (K[0, 2] + 0.5)
+        ipy = px_xy[..., 1] - (K[1, 2] + 0.5)
+        det = c - e * d
+        ux = (ipx - d * ipy) / det
+        uy = (-e * ipx + c * ipy) / det
+        delta = jnp.sqrt(ux * ux + uy * uy)
+        if fth.reference_poly == PIXELDIST_TO_ANGLE:
+            theta = _horner(fth.pixeldist_to_angle_poly, delta)
+        else:
+            theta = _newton_invert_poly(fth.angle_to_pixeldist_poly,
+                                        fth.pixeldist_to_angle_poly, delta)
+        center = delta < 1e-6
+        s = jnp.where(center, 0.0,
+                      jnp.sin(theta) / jnp.maximum(delta, 1e-6))
+        dirs_c = jnp.stack([s * ux, s * uy,
+                            jnp.where(center, 1.0, jnp.cos(theta))], -1)
+        R = viewmat[:3, :3]
+        t = viewmat[:3, 3]
+        origin = -jnp.einsum("ij,i->j", R, t, precision="highest")
+        dirs_w = jnp.einsum("ij,...i->...j", R, dirs_c, precision="highest")
+        return origin, dirs_w
+
     xd = (px_xy[..., 0] - K[0, 2]) / K[0, 0]
     yd = (px_xy[..., 1] - K[1, 2]) / K[1, 1]
     xy = jnp.stack([xd, yd], -1)

@@ -216,7 +216,7 @@ def rasterize_binned_world_jax(
 @partial(jax.jit, static_argnames=(
     "width", "height", "tile_size", "render_mode", "max_per_tile",
     "max_tiles_per_gauss", "impl", "calc_compensations", "quat_order",
-    "camera_model", "with_eval3d"))
+    "camera_model", "with_eval3d", "ftheta_coeffs"))
 def rasterize(
     means: jnp.ndarray,      # (N, 3) world-space
     quats: jnp.ndarray,      # (N, 4) — `quat_order` selects XYZW (framework
@@ -240,6 +240,7 @@ def rasterize(
     camera_model: str = "pinhole",
     radial_coeffs: Optional[jnp.ndarray] = None,      # (C, k) distortion
     tangential_coeffs: Optional[jnp.ndarray] = None,  # (C, 2)
+    ftheta_coeffs=None,  # cameras.FThetaParams, shared across cameras
     with_eval3d: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Dict]:
     """gsplat.rasterization equivalent (dense single-batch layout).
@@ -298,6 +299,7 @@ def rasterize(
                 camera_model=camera_model,
                 radial_coeffs=None if rad_c is None else rad_c[None],
                 tangential_coeffs=None if tang_c is None else tang_c[None],
+                ftheta_coeffs=ftheta_coeffs,
                 eps2d=eps2d, near_plane=near_plane, far_plane=far_plane,
                 calc_compensations=calc_compensations)
         else:
@@ -345,7 +347,7 @@ def rasterize(
             ray_o, ray_d = cam_models.image_point_to_world_ray(
                 jnp.stack([gx, gy], -1), viewmat, K,
                 camera_model=camera_model,
-                radial=rad_c, tangential=tang_c)
+                radial=rad_c, tangential=tang_c, ftheta=ftheta_coeffs)
             out, alpha = rasterize_binned_world_jax(
                 means, iscl_rots, col, op, bins, ray_o, ray_d,
                 width, height, tile_size)
