@@ -27,6 +27,16 @@ FISHEYE = "fisheye"
 FTHETA = "ftheta"
 ORTHO = "ortho"
 
+# Rolling-shutter scan orders (reference cuda/_wrapper.py:31-36
+# RollingShutterType). GLOBAL is a simultaneous exposure; the others read the
+# sensor out along one image axis, so each pixel sees the camera at a
+# different relative frame time in [0, 1].
+SHUTTER_GLOBAL = "global"
+SHUTTER_TOP_TO_BOTTOM = "top_to_bottom"
+SHUTTER_LEFT_TO_RIGHT = "left_to_right"
+SHUTTER_BOTTOM_TO_TOP = "bottom_to_top"
+SHUTTER_RIGHT_TO_LEFT = "right_to_left"
+
 # FThetaParams.reference_poly values (reference cuda/_wrapper.py:66-72
 # FThetaPolynomialType): which of the two polynomials is authoritative —
 # the other direction is recovered by Newton inversion.
@@ -171,6 +181,113 @@ def camera_project(means_c: jnp.ndarray, K: jnp.ndarray,
     return jnp.stack([u, v], -1)
 
 
+# ---------------------------------------------------------------------------
+# Rolling shutter: pose interpolation + iterative world->image projection
+# (reference Cameras.cuh:276-430 interpolate_shutter_pose /
+# shutter_relative_frame_time / world_point_to_image_point_shutter_pose).
+# Quaternions are XYZW scalar-last throughout (utils/rotation.py convention).
+# ---------------------------------------------------------------------------
+
+def _quat_rotate(q: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Rotate vectors v (..., 3) by XYZW unit quaternions q (..., 4)."""
+    qv, qw = q[..., :3], q[..., 3:4]
+    t2 = 2.0 * jnp.cross(qv, v)
+    return v + qw * t2 + jnp.cross(qv, t2)
+
+
+def _quat_conj(q: jnp.ndarray) -> jnp.ndarray:
+    return jnp.concatenate([-q[..., :3], q[..., 3:]], axis=-1)
+
+
+def _quat_slerp(q0: jnp.ndarray, q1: jnp.ndarray,
+                t: jnp.ndarray) -> jnp.ndarray:
+    """Shortest-path slerp between XYZW quats, vectorized over t (...,)."""
+    d = jnp.sum(q0 * q1, axis=-1)
+    q1 = jnp.where(d[..., None] < 0, -q1, q1)
+    d = jnp.abs(d)
+    theta = jnp.arccos(jnp.clip(d, -1.0, 1.0))
+    sin_t = jnp.sin(theta)
+    small = sin_t < 1e-6
+    w0 = jnp.where(small, 1.0 - t, jnp.sin((1.0 - t) * theta)
+                   / jnp.where(small, 1.0, sin_t))
+    w1 = jnp.where(small, t, jnp.sin(t * theta) / jnp.where(small, 1.0, sin_t))
+    q = w0[..., None] * q0 + w1[..., None] * q1
+    return q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+
+
+def _viewmat_pose(viewmat: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """world->cam (4, 4) -> (XYZW quat, translation)."""
+    from ..utils.rotation import rotmat_to_quat
+    return rotmat_to_quat(viewmat[..., :3, :3]), viewmat[..., :3, 3]
+
+
+def shutter_relative_time(uv: jnp.ndarray, width: int, height: int,
+                          shutter_type: str) -> jnp.ndarray:
+    """Pixel (..., 2) -> relative frame time in [0, 1] for the scan order
+    (reference Cameras.cuh:300-330 shutter_relative_frame_time)."""
+    u, v = uv[..., 0], uv[..., 1]
+    if shutter_type == SHUTTER_TOP_TO_BOTTOM:
+        return jnp.floor(v) / (height - 1)
+    if shutter_type == SHUTTER_LEFT_TO_RIGHT:
+        return jnp.floor(u) / (width - 1)
+    if shutter_type == SHUTTER_BOTTOM_TO_TOP:
+        return (height - jnp.ceil(v)) / (height - 1)
+    if shutter_type == SHUTTER_RIGHT_TO_LEFT:
+        return (width - jnp.ceil(u)) / (width - 1)
+    return jnp.zeros_like(u)
+
+
+def _project_valid(pts_c: jnp.ndarray, uv: jnp.ndarray, width: int,
+                   height: int, margin: float) -> jnp.ndarray:
+    """Frontal-hemisphere + margin-expanded in-image test (the reference's
+    per-model valid flags, Cameras.cuh camera_ray_to_image_point, with
+    UnscentedTransformParameters.in_image_margin_factor = 0.1 default)."""
+    mx, my = margin * width, margin * height
+    inside = ((uv[..., 0] >= -mx) & (uv[..., 0] <= width + mx)
+              & (uv[..., 1] >= -my) & (uv[..., 1] <= height + my))
+    return inside & (pts_c[..., 2] > 1e-6)
+
+
+def world_point_to_image_shutter(
+    pts_w: jnp.ndarray,          # (..., 3) world points
+    K: jnp.ndarray,
+    pose_start: Tuple[jnp.ndarray, jnp.ndarray],  # (quat XYZW, t) world->cam
+    pose_end: Tuple[jnp.ndarray, jnp.ndarray],
+    width: int, height: int, shutter_type: str,
+    camera_model: str = PINHOLE,
+    radial: Optional[jnp.ndarray] = None,
+    tangential: Optional[jnp.ndarray] = None,
+    ftheta: Optional[FThetaParams] = None,
+    iters: int = 10, margin: float = 0.1,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Rolling-shutter world->image projection: fixed-point iteration on the
+    pixel's shutter time (reference Cameras.cuh:358-430, 10 iterations).
+
+    Returns (uv (..., 2), valid (...,)) — valid iff the start- or end-pose
+    projection lands inside the margin-expanded image (reference: both
+    invalid -> point marked invalid)."""
+    q0, t0 = pose_start
+    q1, t1 = pose_end
+
+    def proj(q, t):
+        pts_c = _quat_rotate(q, pts_w) + t
+        uv = camera_project(pts_c, K, camera_model, radial, tangential,
+                            ftheta=ftheta)
+        return uv, _project_valid(pts_c, uv, width, height, margin)
+
+    uv0, v0 = proj(q0, t0)
+    if shutter_type == SHUTTER_GLOBAL:
+        return uv0, v0
+    uv1, v1 = proj(q1, t1)
+    uv = jnp.where(v0[..., None], uv0, uv1)
+    for _ in range(iters):
+        tr = shutter_relative_time(uv, width, height, shutter_type)
+        q = _quat_slerp(q0, q1, tr)
+        t = (1.0 - tr)[..., None] * t0 + tr[..., None] * t1
+        uv, _ = proj(q, t)
+    return uv, v0 | v1
+
+
 def _sigma_points(means: jnp.ndarray, covars: jnp.ndarray,
                   alpha: float = 0.1, beta: float = 2.0, kappa: float = 0.0):
     """Merwe sigma points for (..., 3) gaussians.
@@ -202,45 +319,55 @@ def fully_fused_projection_ut(
     ftheta_coeffs: Optional[FThetaParams] = None,    # shared across cameras
     eps2d: float = 0.3, near_plane: float = 0.01, far_plane: float = 1e10,
     calc_compensations: bool = False,
+    rolling_shutter: str = SHUTTER_GLOBAL,
+    viewmats_rs: Optional[jnp.ndarray] = None,       # (C, 4, 4) end-of-frame
 ) -> Projected:
     """UT projection of N world gaussians into C (possibly distorted) cameras.
 
     Same output contract as projection.fully_fused_projection, so the result
     feeds the standard tile binning + blending unchanged.
+
+    With `rolling_shutter` != "global" and `viewmats_rs` (the end-of-frame
+    pose), each sigma point is projected by the 10-step fixed-point shutter
+    solve and depth uses the mid-frame pose (reference
+    ProjectionUT3DGSFused.cu:72-99).
     """
     R = viewmats[:, :3, :3]
     t = viewmats[:, :3, 3]
     pts_w, w_m, w_c = _sigma_points(means, covars)       # (N, 7, 3)
+    rs = rolling_shutter != SHUTTER_GLOBAL and viewmats_rs is not None
 
-    def per_camera(Rc, tc, K, rad, tang):
-        pts_c = jnp.einsum("ij,nsj->nsi", Rc, pts_w) + tc          # (N, 7, 3)
-        uv = camera_project(pts_c, K, camera_model,
-                            None if rad is None else rad,
-                            None if tang is None else tang,
-                            ftheta=ftheta_coeffs)                   # (N, 7, 2)
+    def per_camera(Rc, tc, K, rad, tang, vm_rs):
+        if rs:
+            from ..utils.rotation import rotmat_to_quat
+            q0 = rotmat_to_quat(Rc)
+            q1, t1 = _viewmat_pose(vm_rs)
+            uv, valid_s = world_point_to_image_shutter(
+                pts_w, K, (q0, tc), (q1, t1), width, height, rolling_shutter,
+                camera_model, rad, tang, ftheta_coeffs)    # (N, 7, 2/·)
+            # require_all_sigma_points_valid=True default (_wrapper.py:52)
+            valid = jnp.all(valid_s, axis=-1)
+            q_mid = _quat_slerp(q0, q1, jnp.full((), 0.5))
+            t_mid = 0.5 * (tc + t1)
+            depth = (_quat_rotate(q_mid, means) + t_mid)[..., 2]
+        else:
+            pts_c = jnp.einsum("ij,nsj->nsi", Rc, pts_w) + tc      # (N, 7, 3)
+            uv = camera_project(pts_c, K, camera_model, rad, tang,
+                                ftheta=ftheta_coeffs)               # (N, 7, 2)
+            valid = jnp.ones(means.shape[:1], bool)
+            depth = jnp.einsum("ij,nj->ni", Rc, means)[..., 2] + tc[2]
         mean2d = jnp.einsum("s,nsi->ni", w_m, uv)
         d = uv - mean2d[:, None, :]
         cov2d = jnp.einsum("s,nsi,nsj->nij", w_c, d, d)
-        depth = jnp.einsum("ij,nj->ni", Rc, means)[..., 2] + tc[2]
-        return mean2d, cov2d, depth
+        return mean2d, cov2d, depth, valid
 
-    rad_in = radial_coeffs if radial_coeffs is not None else None
-    tang_in = tangential_coeffs if tangential_coeffs is not None else None
-    if rad_in is None and tang_in is None:
-        m2d, cov2d, dep = jax.vmap(
-            lambda Rc, tc, K: per_camera(Rc, tc, K, None, None))(R, t, Ks)
-    elif tang_in is None:
-        m2d, cov2d, dep = jax.vmap(
-            lambda Rc, tc, K, rd: per_camera(Rc, tc, K, rd, None))(
-            R, t, Ks, rad_in)
-    else:
-        rad_arg = rad_in if rad_in is not None else jnp.zeros((R.shape[0], 1))
-        m2d, cov2d, dep = jax.vmap(per_camera)(R, t, Ks, rad_arg, tang_in)
+    m2d, cov2d, dep, valid = jax.vmap(per_camera)(
+        R, t, Ks, radial_coeffs, tangential_coeffs, viewmats_rs)
 
     # fisheye sees behind-the-lens points; keep the frontal hemisphere only
-    extra = None
+    extra = valid if rs else None
     if camera_model == FISHEYE:
-        extra = dep > 0
+        extra = dep > 0 if extra is None else extra & (dep > 0)
     elif camera_model == FTHETA:
         # frontal hemisphere AND inside the polynomial's valid cone
         # (reference Cameras.cuh:1099-1106: FOV-clamped projections invalid)
@@ -248,7 +375,8 @@ def fully_fused_projection_ut(
         means_c = jnp.einsum("cij,nj->cni", R, means) + t[:, None, :]
         r_xy = jnp.linalg.norm(means_c[..., :2], axis=-1)
         theta = jnp.arctan2(r_xy, means_c[..., 2])
-        extra = (dep > 0) & (theta <= fth.max_angle)
+        cone = (dep > 0) & (theta <= fth.max_angle)
+        extra = cone if extra is None else extra & cone
     return finish_projection(m2d, cov2d, dep, width, height, eps2d,
                              near_plane, far_plane, calc_compensations,
                              extra_valid=extra)
@@ -317,12 +445,21 @@ def image_point_to_world_ray(
     radial: Optional[jnp.ndarray] = None,       # (k,)
     tangential: Optional[jnp.ndarray] = None,   # (2,)
     ftheta: Optional[FThetaParams] = None,
+    rolling_shutter: str = SHUTTER_GLOBAL,
+    viewmat_rs: Optional[jnp.ndarray] = None,   # (4, 4) end-of-frame pose
+    width: Optional[int] = None, height: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Pixels -> (camera origin (3,), unit world ray dirs (..., 3)).
+    """Pixels -> (camera origin, unit world ray dirs (..., 3)).
 
-    Inverts camera_project for the supported models; global shutter (the
-    reference's rolling-shutter poses collapse to this when start==end pose).
+    Inverts camera_project for the supported models. Under a rolling shutter
+    (`rolling_shutter` != "global" with `viewmat_rs` + width/height given),
+    each pixel uses the pose interpolated at its shutter-relative time
+    (reference Cameras.cuh:331-351 image_point_to_world_ray_shutter_pose) and
+    the returned origin is per-pixel (..., 3); global shutter returns a
+    single (3,) origin.
     """
+    rs = (rolling_shutter != SHUTTER_GLOBAL and viewmat_rs is not None
+          and width is not None and height is not None)
     if camera_model == FTHETA:
         # reference Cameras.cuh:1142-1195 image_point_to_camera_ray: undo the
         # linear skew A=[c,d;e,1] via A^-1=[1,-d;-e,c]/(c-ed), then invert the
@@ -345,11 +482,9 @@ def image_point_to_world_ray(
                       jnp.sin(theta) / jnp.maximum(delta, 1e-6))
         dirs_c = jnp.stack([s * ux, s * uy,
                             jnp.where(center, 1.0, jnp.cos(theta))], -1)
-        R = viewmat[:3, :3]
-        t = viewmat[:3, 3]
-        origin = -jnp.einsum("ij,i->j", R, t, precision="highest")
-        dirs_w = jnp.einsum("ij,...i->...j", R, dirs_c, precision="highest")
-        return origin, dirs_w
+        return _camera_rays_to_world(dirs_c, px_xy, viewmat, rs,
+                                     rolling_shutter, viewmat_rs,
+                                     width, height)
 
     xd = (px_xy[..., 0] - K[0, 2]) / K[0, 0]
     yd = (px_xy[..., 1] - K[1, 2]) / K[1, 1]
@@ -369,8 +504,26 @@ def image_point_to_world_ray(
         dirs_c = jnp.concatenate([xy, jnp.ones_like(xy[..., :1])], -1)
         dirs_c = dirs_c / jnp.linalg.norm(dirs_c, axis=-1, keepdims=True)
 
-    R = viewmat[:3, :3]
-    t = viewmat[:3, 3]
-    origin = -jnp.einsum("ij,i->j", R, t, precision="highest")
-    dirs_w = jnp.einsum("ij,...i->...j", R, dirs_c, precision="highest")
+    return _camera_rays_to_world(dirs_c, px_xy, viewmat, rs, rolling_shutter,
+                                 viewmat_rs, width, height)
+
+
+def _camera_rays_to_world(dirs_c, px_xy, viewmat, rs, rolling_shutter,
+                          viewmat_rs, width, height):
+    """Camera-frame unit rays -> (origin, world dirs); per-pixel shutter pose
+    when `rs` (reference Cameras.cuh:262-273 camera_ray_to_world_ray)."""
+    if not rs:
+        R = viewmat[:3, :3]
+        t = viewmat[:3, 3]
+        origin = -jnp.einsum("ij,i->j", R, t, precision="highest")
+        dirs_w = jnp.einsum("ij,...i->...j", R, dirs_c, precision="highest")
+        return origin, dirs_w
+    q0, t0 = _viewmat_pose(viewmat)
+    q1, t1 = _viewmat_pose(viewmat_rs)
+    tr = shutter_relative_time(px_xy, width, height, rolling_shutter)
+    q = _quat_slerp(q0, q1, tr)                                 # (..., 4)
+    t = (1.0 - tr)[..., None] * t0 + tr[..., None] * t1
+    q_inv = _quat_conj(q)
+    origin = -_quat_rotate(q_inv, t)                            # (..., 3)
+    dirs_w = _quat_rotate(q_inv, dirs_c)
     return origin, dirs_w

@@ -129,16 +129,22 @@ def _blend_tile_world(means, iscl_rots, colors, opacities, live,
 
     Args:
       means (K, 3), iscl_rots (K, 3, 3) = diag(1/s) R^T, colors (K, D),
-      opacities (K,), live (K,), ray_o (3,), ray_d (P, 3) world unit dirs.
+      opacities (K,), live (K,), ray_o (3,) — or (P, 3) per-pixel origins
+      under a rolling shutter — and ray_d (P, 3) world unit dirs.
     Returns (out (P, D), alpha (P,)).
     """
-    gro = jnp.einsum("kij,kj->ki", iscl_rots, ray_o[None] - means,
-                     precision="highest")                      # (K, 3)
+    if ray_o.ndim == 1:
+        gro = jnp.einsum("kij,kj->ki", iscl_rots, ray_o[None] - means,
+                         precision="highest")[:, None, :]      # (K, 1, 3)
+    else:
+        gro = jnp.einsum("kij,kpj->kpi", iscl_rots,
+                         ray_o[None] - means[:, None, :],
+                         precision="highest")                  # (K, P, 3)
     grd = jnp.einsum("kij,pj->kpi", iscl_rots, ray_d,
                      precision="highest")                      # (K, P, 3)
     grd = grd / jnp.maximum(
         jnp.linalg.norm(grd, axis=-1, keepdims=True), 1e-12)
-    cr = jnp.cross(grd, gro[:, None, :])                       # (K, P, 3)
+    cr = jnp.cross(grd, gro)                                   # (K, P, 3)
     gray_dist = jnp.sum(cr * cr, axis=-1)                      # (K, P)
 
     alpha = jnp.minimum(0.999, opacities[:, None] * jnp.exp(-0.5 * gray_dist))
@@ -174,9 +180,13 @@ def rasterize_binned_world_jax(
     D = colors.shape[-1]
     P = tile_size * tile_size
 
-    # (n_tiles, P, 3) tile-major ray layout
-    rays = ray_dirs.reshape(th, tile_size, tw, tile_size, 3)
-    rays = rays.transpose(0, 2, 1, 3, 4).reshape(n_tiles, P, 3)
+    def to_tile_major(grid):     # (H_pad, W_pad, 3) -> (n_tiles, P, 3)
+        g = grid.reshape(th, tile_size, tw, tile_size, 3)
+        return g.transpose(0, 2, 1, 3, 4).reshape(n_tiles, P, 3)
+
+    rays = to_tile_major(ray_dirs)
+    # per-pixel origins (rolling shutter) ride the same tile layout
+    origs = to_tile_major(ray_o) if ray_o.ndim == 3 else None
 
     pad = (-n_tiles) % tile_batch
     ids = jnp.concatenate([bins.gauss_ids,
@@ -184,23 +194,27 @@ def rasterize_binned_world_jax(
     counts = jnp.concatenate([bins.counts,
                               jnp.zeros((pad,), jnp.int32)]) if pad else bins.counts
     rays_p = jnp.concatenate([rays, jnp.zeros((pad, P, 3))]) if pad else rays
+    origs_p = None if origs is None else (
+        jnp.concatenate([origs, jnp.zeros((pad, P, 3))]) if pad else origs)
 
-    def tile_fn(tile_gauss, tile_count, tile_rays):
+    def tile_fn(tile_gauss, tile_count, tile_rays, tile_orig):
         live = jnp.arange(K, dtype=jnp.int32) < tile_count
+        o = ray_o if tile_orig is None else tile_orig
         return _blend_tile_world(means[tile_gauss], iscl_rots[tile_gauss],
                                  colors[tile_gauss], opacities[tile_gauss],
-                                 live, ray_o, tile_rays)
+                                 live, o, tile_rays)
 
     def batch_fn(_, batch):
-        gids, cnts, rys = batch
-        out, a = jax.vmap(tile_fn)(gids, cnts, rys)
+        gids, cnts, rys, orgs = batch
+        out, a = jax.vmap(tile_fn)(gids, cnts, rys, orgs)
         return None, (out, a)
 
     _, (out_tiles, alpha_tiles) = lax.scan(
         batch_fn, None,
         (ids.reshape(-1, tile_batch, K),
          counts.reshape(-1, tile_batch),
-         rays_p.reshape(-1, tile_batch, P, 3)))
+         rays_p.reshape(-1, tile_batch, P, 3),
+         None if origs_p is None else origs_p.reshape(-1, tile_batch, P, 3)))
 
     out_tiles = out_tiles.reshape(-1, P, D)[:n_tiles]
     alpha_tiles = alpha_tiles.reshape(-1, P)[:n_tiles]
@@ -216,7 +230,7 @@ def rasterize_binned_world_jax(
 @partial(jax.jit, static_argnames=(
     "width", "height", "tile_size", "render_mode", "max_per_tile",
     "max_tiles_per_gauss", "impl", "calc_compensations", "quat_order",
-    "camera_model", "with_eval3d", "ftheta_coeffs"))
+    "camera_model", "with_eval3d", "ftheta_coeffs", "rolling_shutter"))
 def rasterize(
     means: jnp.ndarray,      # (N, 3) world-space
     quats: jnp.ndarray,      # (N, 4) — `quat_order` selects XYZW (framework
@@ -242,6 +256,8 @@ def rasterize(
     tangential_coeffs: Optional[jnp.ndarray] = None,  # (C, 2)
     ftheta_coeffs=None,  # cameras.FThetaParams, shared across cameras
     with_eval3d: bool = False,
+    rolling_shutter: str = "global",  # cameras.SHUTTER_* scan order
+    viewmats_rs: Optional[jnp.ndarray] = None,  # (C, 4, 4) end-of-frame pose
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Dict]:
     """gsplat.rasterization equivalent (dense single-batch layout).
 
@@ -274,7 +290,7 @@ def rasterize(
     # all-camera projection dominate HBM, and XLA reuses the single-camera
     # buffers across map iterations.
     use_ut = (camera_model != "pinhole" or radial_coeffs is not None
-              or tangential_coeffs is not None)
+              or tangential_coeffs is not None or rolling_shutter != "global")
     # UT needs the (N, 3, 3) matrix form (per-splat Cholesky); the pinhole EWA
     # path takes the 6-plane tuple — the matrix form's trailing (3, 3) pads to
     # an (8, 128) TPU tile and costs ~50 ms/M splats of pure HBM traffic.
@@ -291,7 +307,7 @@ def rasterize(
             jnp.maximum(scales, 1e-12)[..., :, None]
 
     def per_camera(args):
-        viewmat, K, rad_c, tang_c = args
+        viewmat, K, rad_c, tang_c, vm_rs = args
         if use_ut:
             from . import cameras as cam_models
             proj = cam_models.fully_fused_projection_ut(
@@ -301,7 +317,9 @@ def rasterize(
                 tangential_coeffs=None if tang_c is None else tang_c[None],
                 ftheta_coeffs=ftheta_coeffs,
                 eps2d=eps2d, near_plane=near_plane, far_plane=far_plane,
-                calc_compensations=calc_compensations)
+                calc_compensations=calc_compensations,
+                rolling_shutter=rolling_shutter,
+                viewmats_rs=None if vm_rs is None else vm_rs[None])
         else:
             proj = projection.fully_fused_projection(
                 means, covars, viewmat[None], K[None], width, height, eps2d=eps2d,
@@ -347,7 +365,9 @@ def rasterize(
             ray_o, ray_d = cam_models.image_point_to_world_ray(
                 jnp.stack([gx, gy], -1), viewmat, K,
                 camera_model=camera_model,
-                radial=rad_c, tangential=tang_c, ftheta=ftheta_coeffs)
+                radial=rad_c, tangential=tang_c, ftheta=ftheta_coeffs,
+                rolling_shutter=rolling_shutter, viewmat_rs=vm_rs,
+                width=width, height=height)
             out, alpha = rasterize_binned_world_jax(
                 means, iscl_rots, col, op, bins, ray_o, ray_d,
                 width, height, tile_size)
@@ -367,7 +387,7 @@ def rasterize(
             n_drop = bins.n_dropped
         return out, alpha, n_drop, rad, m2d, dep
 
-    cam_args = (viewmats, Ks, radial_coeffs, tangential_coeffs)
+    cam_args = (viewmats, Ks, radial_coeffs, tangential_coeffs, viewmats_rs)
     (render_colors, render_alphas, n_dropped, radii_all, means2d_all,
      depths_all) = lax.map(per_camera, cam_args)
 
