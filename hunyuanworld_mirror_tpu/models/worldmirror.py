@@ -46,6 +46,11 @@ class WorldMirrorConfig:
     # splat-mean source (reference rasterization.py:389-498); see
     # gaussians.GSRendererConfig.position_from
     gs_position_from: str = "gsdepth+predcamera"
+    # accepted-and-ignored: the reference's worldmirror.py:58-59 passes these
+    # to a VGT constructor that doesn't declare them (SURVEY.md §2.1 quirk);
+    # kept so checkpoints/configs serialized with them still load
+    enable_interpolation: bool = False
+    max_resolution: Optional[int] = None
 
     @property
     def vgt(self) -> VGTConfig:
