@@ -39,6 +39,11 @@ class DPTConfig:
     # attribute and a single activation applies (fork heads, reference
     # models/heads/dense_head.py "linear"/"sigmoid" usage).
     with_conf: bool = True
+    # conv/fusion compute dtype. The reference runs its heads fp32 (autocast
+    # disabled, worldmirror.py:146) and that stays the default; "bfloat16"
+    # halves the decoder's HBM traffic on TPU (activations at up to 518^2 are
+    # bandwidth-bound) while the final activation math below stays fp32.
+    compute_dtype: str = "float32"
 
 
 def _residual_conv_unit_init(key, features: int):
@@ -167,8 +172,9 @@ def forward(p, cfg: DPTConfig, token_list: List[jnp.ndarray],
         lambda t: t,
         lambda t: nn.conv(p["resize3"], t, stride=2, padding=1),
     ]
+    cdtype = jnp.dtype(cfg.compute_dtype)
     for lvl in range(4):
-        tokens = token_list[lvl][:, :, patch_start_idx:].astype(jnp.float32)
+        tokens = token_list[lvl][:, :, patch_start_idx:].astype(cdtype)
         tokens = tokens.reshape(B * S, ph * pw, tokens.shape[-1])
         tokens = nn.layer_norm(p["norm"], tokens, eps=1e-5)
         feat = tokens.reshape(B * S, ph, pw, tokens.shape[-1])
@@ -196,6 +202,7 @@ def forward(p, cfg: DPTConfig, token_list: List[jnp.ndarray],
 
     head = nn.conv(p["output_conv2"]["conv1"], fused, padding=1)
     head = nn.conv(p["output_conv2"]["conv2"], jax.nn.relu(head))
+    head = head.astype(jnp.float32)  # activation math always fp32
     if cfg.with_conf:
         preds, conf = activate_head(head, cfg.activation)
         conf = conf.reshape(B, S, *conf.shape[1:])
@@ -206,7 +213,7 @@ def forward(p, cfg: DPTConfig, token_list: List[jnp.ndarray],
 
     if cfg.is_gsdpt:
         img_feat = jax.nn.relu(
-            nn.conv(p["input_merger"], images.reshape(B * S, H, W, 3).astype(jnp.float32),
+            nn.conv(p["input_merger"], images.reshape(B * S, H, W, 3).astype(cdtype),
                     padding=3))
         fused = fused + img_feat
         fused = fused.reshape(B, S, *fused.shape[1:])

@@ -46,6 +46,10 @@ class WorldMirrorConfig:
     # splat-mean source (reference rasterization.py:389-498); see
     # gaussians.GSRendererConfig.position_from
     gs_position_from: str = "gsdepth+predcamera"
+    # DPT decoder compute dtype; "float32" matches the reference's
+    # autocast-off heads, "bfloat16" halves decoder HBM traffic (final
+    # activations stay fp32 either way — see dpt.DPTConfig.compute_dtype)
+    head_dtype: str = "float32"
     # accepted-and-ignored: the reference's worldmirror.py:58-59 passes these
     # to a VGT constructor that doesn't declare them (SURVEY.md §2.1 quirk);
     # kept so checkpoints/configs serialized with them still load
@@ -68,7 +72,8 @@ class WorldMirrorConfig:
 
     def _dpt(self, output_dim, activation, **kw) -> DPTConfig:
         return DPTConfig(dim_in=2 * self.embed_dim, patch_size=self.patch_size,
-                         output_dim=output_dim, activation=activation, **kw)
+                         output_dim=output_dim, activation=activation,
+                         compute_dtype=self.head_dtype, **kw)
 
     @property
     def pts_head(self) -> DPTConfig:

@@ -44,6 +44,19 @@ PIXELDIST_TO_ANGLE = "pixeldist_to_angle"
 ANGLE_TO_PIXELDIST = "angle_to_pixeldist"
 
 
+class UTParams(NamedTuple):
+    """Unscented-transform knobs (reference cuda/_wrapper.py:42-53
+    UnscentedTransformParameters). Hashable so they ride through jit as a
+    static argument."""
+    alpha: float = 0.1
+    beta: float = 2.0
+    kappa: float = 0.0
+    # validity margin as a fraction of the image extent
+    in_image_margin_factor: float = 0.1
+    # True: every sigma point must project validly; False: any one suffices
+    require_all_sigma_points_valid: bool = True
+
+
 class FThetaParams(NamedTuple):
     """NVIDIA f-theta camera distortion (reference Cameras.cuh:1049-1195,
     cuda/_wrapper.py:75-94 FThetaCameraDistortionParameters).
@@ -321,6 +334,7 @@ def fully_fused_projection_ut(
     calc_compensations: bool = False,
     rolling_shutter: str = SHUTTER_GLOBAL,
     viewmats_rs: Optional[jnp.ndarray] = None,       # (C, 4, 4) end-of-frame
+    ut_params: UTParams = UTParams(),
 ) -> Projected:
     """UT projection of N world gaussians into C (possibly distorted) cameras.
 
@@ -334,7 +348,8 @@ def fully_fused_projection_ut(
     """
     R = viewmats[:, :3, :3]
     t = viewmats[:, :3, 3]
-    pts_w, w_m, w_c = _sigma_points(means, covars)       # (N, 7, 3)
+    pts_w, w_m, w_c = _sigma_points(means, covars, alpha=ut_params.alpha,
+                                    beta=ut_params.beta, kappa=ut_params.kappa)
     rs = rolling_shutter != SHUTTER_GLOBAL and viewmats_rs is not None
 
     def per_camera(Rc, tc, K, rad, tang, vm_rs):
@@ -344,9 +359,11 @@ def fully_fused_projection_ut(
             q1, t1 = _viewmat_pose(vm_rs)
             uv, valid_s = world_point_to_image_shutter(
                 pts_w, K, (q0, tc), (q1, t1), width, height, rolling_shutter,
-                camera_model, rad, tang, ftheta_coeffs)    # (N, 7, 2/·)
-            # require_all_sigma_points_valid=True default (_wrapper.py:52)
-            valid = jnp.all(valid_s, axis=-1)
+                camera_model, rad, tang, ftheta_coeffs,
+                margin=ut_params.in_image_margin_factor)   # (N, 7, 2/·)
+            valid = (jnp.all(valid_s, axis=-1)
+                     if ut_params.require_all_sigma_points_valid
+                     else jnp.any(valid_s, axis=-1))
             q_mid = _quat_slerp(q0, q1, jnp.full((), 0.5))
             t_mid = 0.5 * (tc + t1)
             depth = (_quat_rotate(q_mid, means) + t_mid)[..., 2]

@@ -230,7 +230,8 @@ def rasterize_binned_world_jax(
 @partial(jax.jit, static_argnames=(
     "width", "height", "tile_size", "render_mode", "max_per_tile",
     "max_tiles_per_gauss", "impl", "calc_compensations", "quat_order",
-    "camera_model", "with_eval3d", "ftheta_coeffs", "rolling_shutter"))
+    "camera_model", "with_eval3d", "ftheta_coeffs", "rolling_shutter",
+    "ut_params"))
 def rasterize(
     means: jnp.ndarray,      # (N, 3) world-space
     quats: jnp.ndarray,      # (N, 4) — `quat_order` selects XYZW (framework
@@ -258,6 +259,7 @@ def rasterize(
     with_eval3d: bool = False,
     rolling_shutter: str = "global",  # cameras.SHUTTER_* scan order
     viewmats_rs: Optional[jnp.ndarray] = None,  # (C, 4, 4) end-of-frame pose
+    ut_params=None,  # cameras.UTParams overriding the Merwe defaults
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Dict]:
     """gsplat.rasterization equivalent (dense single-batch layout).
 
@@ -319,7 +321,9 @@ def rasterize(
                 eps2d=eps2d, near_plane=near_plane, far_plane=far_plane,
                 calc_compensations=calc_compensations,
                 rolling_shutter=rolling_shutter,
-                viewmats_rs=None if vm_rs is None else vm_rs[None])
+                viewmats_rs=None if vm_rs is None else vm_rs[None],
+                ut_params=(cam_models.UTParams() if ut_params is None
+                           else ut_params))
         else:
             proj = projection.fully_fused_projection(
                 means, covars, viewmat[None], K[None], width, height, eps2d=eps2d,

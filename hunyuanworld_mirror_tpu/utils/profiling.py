@@ -28,6 +28,29 @@ class ChipSpec:
     hbm_bytes_per_s: float = 2765e9
 
 
+# public chip specs (cloud.google.com/tpu/docs system architecture pages)
+CHIP_SPECS = {
+    "v5p": ChipSpec("v5p", 459e12, 115e12, 2765e9),
+    "v5e": ChipSpec("v5e", 197e12, 49e12, 819e9),
+    "v4": ChipSpec("v4", 275e12, 69e12, 1228e9),
+    "v6e": ChipSpec("v6e", 918e12, 230e12, 1640e9),
+}
+
+
+def detect_chip() -> ChipSpec:
+    """Pick the ChipSpec for the attached device (falls back to v5p)."""
+    try:
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:
+        return CHIP_SPECS["v5p"]
+    if "lite" in kind or "v5e" in kind:
+        return CHIP_SPECS["v5e"]
+    for name in ("v6e", "v5p", "v4"):
+        if name in kind:
+            return CHIP_SPECS[name]
+    return CHIP_SPECS["v5p"]
+
+
 class PhaseTimer:
     """Accumulates wall time per named phase; sync via host readback."""
 
@@ -118,7 +141,7 @@ def rasterizer_bytes(n_splats: int, n_pix: int, k_per_tile: int,
 def roofline(flops: float, bytes_moved: float, seconds: float,
              spec: Optional[ChipSpec] = None, dtype: str = "bf16") -> Dict:
     """Compare measured time against compute/bandwidth speed-of-light."""
-    spec = spec or ChipSpec()
+    spec = spec or detect_chip()
     peak = spec.peak_flops_bf16 if dtype == "bf16" else spec.peak_flops_f32
     t_compute = flops / peak
     t_memory = bytes_moved / spec.hbm_bytes_per_s

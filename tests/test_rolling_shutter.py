@@ -187,3 +187,47 @@ def test_rasterize_rs_degenerate_matches_global(rng):
     # small footprint-approximation tolerance
     diff = np.abs(np.asarray(out_rs) - np.asarray(out_gl))
     assert diff.mean() < 0.01, diff.mean()
+
+
+def test_ut_params_knobs(rng):
+    """UTParams plumbs through: require_any keeps more splats valid than
+    require_all when the camera moves hard mid-frame; alpha change perturbs
+    the recovered 2D covariance but not the mean."""
+    from hunyuanworld_mirror_tpu.ops import projection
+    vm0, vm1 = _pose_pair(dx=1.2, dyaw=0.2)
+    means = rng.normal(size=(200, 3)).astype(np.float32) * 1.5
+    means[:, 2] += 4.0
+    quats = rng.normal(size=(200, 4)).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=-1, keepdims=True)
+    scales = np.full((200, 3), 0.1, np.float32)
+    covars = projection.quat_scale_to_covar(jnp.asarray(quats),
+                                            jnp.asarray(scales))
+
+    def run(ut):
+        return cam.fully_fused_projection_ut(
+            jnp.asarray(means), covars, jnp.asarray(vm0[None]),
+            jnp.asarray(K[None]), W, H,
+            rolling_shutter=cam.SHUTTER_TOP_TO_BOTTOM,
+            viewmats_rs=jnp.asarray(vm1[None]), ut_params=ut)
+
+    p_all = run(cam.UTParams(require_all_sigma_points_valid=True))
+    p_any = run(cam.UTParams(require_all_sigma_points_valid=False))
+    n_all = int((np.asarray(p_all.radii) > 0).sum())
+    n_any = int((np.asarray(p_any.radii) > 0).sum())
+    assert n_any >= n_all > 0
+
+    # a wider in-image margin admits strictly-not-fewer valid splats
+    p_tight = run(cam.UTParams(in_image_margin_factor=0.0))
+    p_wide = run(cam.UTParams(in_image_margin_factor=0.5))
+    n_tight = int((np.asarray(p_tight.radii) > 0).sum())
+    n_wide = int((np.asarray(p_wide.radii) > 0).sum())
+    assert n_wide >= n_tight > 0
+
+    # alpha rescales the sigma spread -> different recovered 2D covariance
+    p_a2 = run(cam.UTParams(alpha=0.5))
+    live = ((np.asarray(p_all.radii) > 0).all(-1)
+            & (np.asarray(p_a2.radii) > 0).all(-1))
+    assert live.any()
+    c1 = np.asarray(p_all.conics)[live]
+    c2 = np.asarray(p_a2.conics)[live]
+    assert np.abs(c1 - c2).max() > 1e-4
