@@ -335,6 +335,7 @@ def fully_fused_projection_ut(
     rolling_shutter: str = SHUTTER_GLOBAL,
     viewmats_rs: Optional[jnp.ndarray] = None,       # (C, 4, 4) end-of-frame
     ut_params: UTParams = UTParams(),
+    radius_clip: float = 0.0,
 ) -> Projected:
     """UT projection of N world gaussians into C (possibly distorted) cameras.
 
@@ -396,7 +397,7 @@ def fully_fused_projection_ut(
         extra = cone if extra is None else extra & cone
     return finish_projection(m2d, cov2d, dep, width, height, eps2d,
                              near_plane, far_plane, calc_compensations,
-                             extra_valid=extra)
+                             extra_valid=extra, radius_clip=radius_clip)
 
 
 # ---------------------------------------------------------------------------

@@ -122,7 +122,8 @@ def finish_projection(means2d: jnp.ndarray, covars2d: jnp.ndarray,
                       eps2d: float = 0.3, near_plane: float = 0.01,
                       far_plane: float = 1e10,
                       calc_compensations: bool = False,
-                      extra_valid: Optional[jnp.ndarray] = None) -> Projected:
+                      extra_valid: Optional[jnp.ndarray] = None,
+                      radius_clip: float = 0.0) -> Projected:
     """Shared tail: 2D covariance -> (dilated conic, radii, culling).
 
     Used by both the EWA path below and the unscented-transform path
@@ -149,6 +150,11 @@ def finish_projection(means2d: jnp.ndarray, covars2d: jnp.ndarray,
     radius = jnp.stack([radius_x, radius_y], axis=-1)
 
     valid = (det > 0) & (depths > near_plane) & (depths < far_plane)
+    if radius_clip > 0.0:
+        # cull sub-threshold footprints (reference rendering.py:45 /
+        # _wrapper.py fully_fused_projection radius_clip)
+        valid = valid & (jnp.maximum(radius[..., 0], radius[..., 1])
+                         > radius_clip)
     if extra_valid is not None:
         valid = valid & extra_valid
     inside = ((means2d[..., 0] + radius[..., 0] > 0)
@@ -164,7 +170,7 @@ def fully_fused_projection(
     means: jnp.ndarray, covars: jnp.ndarray, viewmats: jnp.ndarray,
     Ks: jnp.ndarray, width: int, height: int,
     eps2d: float = 0.3, near_plane: float = 0.01, far_plane: float = 1e10,
-    calc_compensations: bool = False,
+    calc_compensations: bool = False, radius_clip: float = 0.0,
 ) -> Projected:
     """Project N world-space gaussians into C cameras (dense [C, N] layout).
 
@@ -260,6 +266,9 @@ def fully_fused_projection(
     radius_y = jnp.ceil(3.33 * jnp.sqrt(d11))
 
     valid = (det > 0) & (tz > near_plane) & (tz < far_plane)
+    if radius_clip > 0.0:
+        # cull sub-threshold footprints (reference rendering.py:45)
+        valid = valid & (jnp.maximum(radius_x, radius_y) > radius_clip)
     inside = ((u + radius_x > 0) & (u - radius_x < width)
               & (v + radius_y > 0) & (v - radius_y < height))
     keep = valid & inside

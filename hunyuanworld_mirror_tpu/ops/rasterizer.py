@@ -231,7 +231,7 @@ def rasterize_binned_world_jax(
     "width", "height", "tile_size", "render_mode", "max_per_tile",
     "max_tiles_per_gauss", "impl", "calc_compensations", "quat_order",
     "camera_model", "with_eval3d", "ftheta_coeffs", "rolling_shutter",
-    "ut_params"))
+    "ut_params", "radius_clip"))
 def rasterize(
     means: jnp.ndarray,      # (N, 3) world-space
     quats: jnp.ndarray,      # (N, 4) — `quat_order` selects XYZW (framework
@@ -260,6 +260,7 @@ def rasterize(
     rolling_shutter: str = "global",  # cameras.SHUTTER_* scan order
     viewmats_rs: Optional[jnp.ndarray] = None,  # (C, 4, 4) end-of-frame pose
     ut_params=None,  # cameras.UTParams overriding the Merwe defaults
+    radius_clip: float = 0.0,  # cull footprints with max radius <= this
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Dict]:
     """gsplat.rasterization equivalent (dense single-batch layout).
 
@@ -323,12 +324,14 @@ def rasterize(
                 rolling_shutter=rolling_shutter,
                 viewmats_rs=None if vm_rs is None else vm_rs[None],
                 ut_params=(cam_models.UTParams() if ut_params is None
-                           else ut_params))
+                           else ut_params),
+                radius_clip=radius_clip)
         else:
             proj = projection.fully_fused_projection(
                 means, covars, viewmat[None], K[None], width, height, eps2d=eps2d,
                 near_plane=near_plane, far_plane=far_plane,
-                calc_compensations=calc_compensations)
+                calc_compensations=calc_compensations,
+                radius_clip=radius_clip)
         m2d, con, dep, rad = (proj.means2d[0], proj.conics[0],
                               proj.depths[0], proj.radii[0])
         op = opacities * proj.compensations[0] if proj.compensations is not None \

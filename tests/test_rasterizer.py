@@ -201,3 +201,31 @@ class TestRasterizeParity:
             lm = loss(o0.at[i].add(-eps))
             fd = (lp - lm) / (2 * eps)
             np.testing.assert_allclose(float(g[i]), float(fd), rtol=5e-2, atol=5e-3)
+
+
+def test_radius_clip(rng):
+    """radius_clip culls sub-threshold footprints (reference rendering.py:45):
+    a huge clip blanks the image; clip=0 is the default behavior."""
+    import jax.numpy as jnp
+    from hunyuanworld_mirror_tpu.ops import rasterizer
+
+    means, quats, scales, opac, colors, viewmats, Ks = _random_scene(
+        rng, n=60, c=1)
+    common = dict(width=64, height=48, render_mode="RGB",
+                  max_per_tile=512, max_tiles_per_gauss=9)
+    out0, alpha0, _ = rasterizer.rasterize(
+        jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
+        jnp.asarray(opac), jnp.asarray(colors), jnp.asarray(viewmats),
+        jnp.asarray(Ks), **common)
+    out_hi, alpha_hi, _ = rasterizer.rasterize(
+        jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
+        jnp.asarray(opac), jnp.asarray(colors), jnp.asarray(viewmats),
+        jnp.asarray(Ks), radius_clip=1e6, **common)
+    assert np.asarray(alpha0).max() > 0.1
+    assert np.asarray(alpha_hi).max() == 0.0
+    # a moderate clip keeps the image close to unclipped minus small splats
+    out_lo, _, _ = rasterizer.rasterize(
+        jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
+        jnp.asarray(opac), jnp.asarray(colors), jnp.asarray(viewmats),
+        jnp.asarray(Ks), radius_clip=1.0, **common)
+    assert np.isfinite(np.asarray(out_lo)).all()
