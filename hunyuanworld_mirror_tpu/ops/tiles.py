@@ -73,7 +73,12 @@ def _isect_keys(means2d, radii, depths, tile_size, tile_width, tile_height,
     only permutes splats whose depths differ by <(range/2^20) within one
     tile, which is blending-order noise.
 
-    Returns (key (N, TPG) i32, n_cover (N,), valid (N,)).
+    Returns (key (TPG, N) i32, n_cover (N,), valid (N,)).
+
+    TPG-major layout: every (TPG, N) intermediate keeps the huge N on the
+    TPU lane dimension. The transposed (N, TPG) form lane-pads TPG=4 -> 128,
+    a 32x HBM write amplification that showed up as ~17 ms of broadcast_in_dim
+    per 4-camera render in the xprof trace.
     """
     n_tiles = tile_width * tile_height
     assert n_tiles < (1 << (31 - DEPTH_BITS)), "tile id overflows packed key"
@@ -93,11 +98,11 @@ def _isect_keys(means2d, radii, depths, tile_size, tile_width, tile_height,
     n_cover = bw * bh
 
     # Slot k of gaussian n -> tile (tmin + (k % bw, k // bw)), row-major.
-    k = jnp.arange(TPG, dtype=jnp.int32)[None, :]           # (1, TPG)
-    bw_safe = jnp.maximum(bw, 1)[:, None]
-    tx = txmin[:, None] + k % bw_safe
-    ty = tymin[:, None] + k // bw_safe
-    slot_valid = (k < n_cover[:, None]) & valid[:, None]
+    k = jnp.arange(TPG, dtype=jnp.int32)[:, None]           # (TPG, 1)
+    bw_safe = jnp.maximum(bw, 1)[None, :]
+    tx = txmin[None, :] + k % bw_safe
+    ty = tymin[None, :] + k // bw_safe
+    slot_valid = (k < n_cover[None, :]) & valid[None, :]
     tile_id = jnp.where(slot_valid, ty * tile_width + tx, n_tiles)  # sentinel
 
     d_ok = jnp.where(valid, depths, jnp.inf)
@@ -108,7 +113,7 @@ def _isect_keys(means2d, radii, depths, tile_size, tile_width, tile_height,
     # packed key — a negative int would set the sign bit and corrupt the sort
     depth_q = jnp.clip(jnp.nan_to_num((depths - dmin) * scale),
                        0, (1 << DEPTH_BITS) - 1).astype(jnp.int32)
-    return (tile_id << DEPTH_BITS) | depth_q[:, None], n_cover, valid
+    return (tile_id << DEPTH_BITS) | depth_q[None, :], n_cover, valid
 
 
 def _searchsorted_2level(sorted_keys: jnp.ndarray, queries: jnp.ndarray,
@@ -165,7 +170,7 @@ def bin_gaussians(means2d: jnp.ndarray, radii: jnp.ndarray, depths: jnp.ndarray,
     key, n_cover, valid = _isect_keys(means2d, radii, depths, tile_size,
                                       tile_width, tile_height, TPG)
     flat_gauss = jnp.broadcast_to(
-        jnp.arange(N, dtype=jnp.int32)[:, None], (N, TPG)).reshape(-1)
+        jnp.arange(N, dtype=jnp.int32)[None, :], (TPG, N)).reshape(-1)
     sorted_keys, sorted_gauss = lax.sort(
         (key.reshape(-1), flat_gauss), num_keys=1, is_stable=False)
 
@@ -207,7 +212,7 @@ def bin_gaussians_packed(means2d: jnp.ndarray, radii: jnp.ndarray,
         values_t = values.T  # (V, N)
         planes = tuple(values_t[r] for r in range(values.shape[1]))
     operands = (key.reshape(-1),) + tuple(
-        jnp.broadcast_to(p[:, None], (N, TPG)).reshape(-1) for p in planes)
+        jnp.broadcast_to(p[None, :], (TPG, N)).reshape(-1) for p in planes)
     sorted_ = lax.sort(operands, num_keys=1, is_stable=False)
 
     starts, counts, n_dropped = _tile_edges(sorted_[0], n_tiles, max_per_tile,
