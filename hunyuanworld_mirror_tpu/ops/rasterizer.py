@@ -276,6 +276,10 @@ def rasterize(
 
     Returns (render_colors (C, H, W, D[+1]), render_alphas (C, H, W, 1), meta).
     """
+    if impl == "pallas" and jax.default_backend() != "tpu":
+        # the Pallas kernel only lowers on TPU (CPU would need interpret
+        # mode, ~100x slower); the jax path is parity-tested identical
+        impl = "jax"
     if quat_order == "wxyz":
         quats = quats[..., jnp.array([1, 2, 3, 0])]
 
