@@ -261,6 +261,8 @@ def rasterize(
     viewmats_rs: Optional[jnp.ndarray] = None,  # (C, 4, 4) end-of-frame pose
     ut_params=None,  # cameras.UTParams overriding the Merwe defaults
     radius_clip: float = 0.0,  # cull footprints with max radius <= this
+    abs_tap: Optional[jnp.ndarray] = None,  # (N, 2) zeros; grad w.r.t. it is
+                                            # the AbsGS absgrad (pallas impl)
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Dict]:
     """gsplat.rasterization equivalent (dense single-batch layout).
 
@@ -387,8 +389,9 @@ def rasterize(
             # flat sorted-list path: payload rides the isect sort; no dense
             # per-tile gathers (see rasterizer_pallas._kernel_flat)
             from .rasterizer_pallas import rasterize_flat_pallas
+            tap = abs_tap if abs_tap is not None else jnp.zeros_like(m2d)
             out, alpha, n_drop = rasterize_flat_pallas(
-                m2d, con, col, op, rad, dep, width, height, tile_size,
+                m2d, con, col, op, rad, dep, tap, width, height, tile_size,
                 max_tiles_per_gauss, max_per_tile)
         else:
             bins = tiles.bin_gaussians(m2d, rad, dep, tile_size, tw, th,

@@ -362,8 +362,283 @@ def _forward_flat(packed, starts, counts, width: int, height: int,
     return img[:height, :width], a[:height, :width, None]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
+# ---------------------------------------------------------------------------
+# Hand-written backward kernel for the flat path
+# ---------------------------------------------------------------------------
+#
+# Gradient of front-to-back blending (out = sum_i w_i c_i, w_i = a_i T_i,
+# T_i = prod_{j<i}(1-a_j); per pixel, g_i := <v_out, c_i> + v_alpha):
+#
+#   dL/dc_i = w_i v_out
+#   dL/da_k = T_k g_k - S_k / (1 - a_k),   S_k := sum_{j>k} w_j g_j
+#
+# The CUDA backward (RasterizeToPixels3DGSBwd.cu) replays splats
+# back-to-front, accumulating S in registers. The TPU kernel instead makes
+# two front-to-back sweeps over the tile's chunk list: sweep A accumulates
+# total = sum_j w_j g_j per pixel, sweep B recomputes T/w and forms
+# S_k = total - incl_prefix_k(w g) with the same lane-scan as the forward,
+# then chains dL/da through a = min(.999, op e^{-sigma}) to per-entry grads
+# for (means2d, conic, opacity) plus the |dL/dmeans2d| accumulation that
+# gsplat exposes as `absgrad` (AbsGS, used by the densification strategy).
+# Per-entry grads land in a (tile, chunk-slot) staging array; XLA scatters
+# them back to splats via the sorted entry->gaussian id map that rides the
+# isect sort (tiles.bin_gaussians_packed(with_ids=True)).
+
+
+def _kernel_flat_bwd(starts_ref, counts_ref, packed_hbm, vout_ref, va_ref,
+                     grad_ref, buf, rowbuf, sem, rsem, *,
+                     tile_size: int, tw: int, chunk: int, max_chunks: int,
+                     d_col: int, M: int, g_rows: int):
+    t = pl.program_id(0)
+    P = tile_size * tile_size
+
+    grad_ref[...] = jnp.zeros_like(grad_ref)
+
+    start = starts_ref[t]
+    count = counts_ref[t]
+    n_blocks = M // chunk
+    b0 = jnp.minimum(start // chunk, n_blocks - 1)
+    total_span = (start - b0 * chunk) + count
+    nch = jnp.minimum((total_span + chunk - 1) // chunk, max_chunks)
+
+    origin_x = (t % tw) * tile_size
+    origin_y = (t // tw) * tile_size
+    pix = lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+    px = (origin_x + pix % tile_size).astype(jnp.float32) + 0.5
+    py = (origin_y + pix // tile_size).astype(jnp.float32) + 0.5
+
+    vout = vout_ref[0]      # (P, D)
+    va = va_ref[0]          # (P, 1)
+
+    def dma(slot, j):
+        blk = jnp.minimum(b0 + j, n_blocks - 1)
+        return pltpu.make_async_copy(
+            packed_hbm.at[:, pl.ds(blk * chunk, chunk)], buf.at[slot],
+            sem.at[slot])
+
+    def chunk_math(j, logt, slot):
+        """Shared forward replay for one chunk: returns the per-entry
+        quantities both sweeps need. Must match _kernel_flat numerics."""
+        b = buf[slot]                     # (V, CH)
+        mx, my = b[0:1, :], b[1:2, :]
+        ca, cb, cc = b[2:3, :], b[3:4, :], b[4:5, :]
+        op = b[5:6, :]
+        dx = px - mx                      # (P, CH)
+        dy = py - my
+        sigma = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
+        alpha = jnp.minimum(0.999, op * jnp.exp(-sigma))
+        off = jnp.minimum(b0 + j, n_blocks - 1) * chunk
+        g_idx = off + lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+        keep = ((sigma >= 0) & (alpha >= ALPHA_THRESHOLD)
+                & (g_idx >= start) & (g_idx < start + count))
+        alpha = jnp.where(keep, alpha, 0.0)
+        lg = jnp.log1p(-alpha)
+        cum_excl = _prefix_scan_lanes(lg, exclusive=True)
+        T_before = jnp.exp(jnp.maximum(logt + cum_excl, NEG_INF_GUARD))
+        tripped = ((T_before * (1.0 - alpha) <= T_EPS)
+                   & (alpha > 0)).astype(jnp.float32)
+        col_t = b[6:6 + d_col, :]         # (D, CH)
+        g = lax.dot_general(vout, col_t,
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            precision=lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32) + va  # (P, CH)
+        return (b, dx, dy, sigma, alpha, keep, lg, T_before, tripped, g,
+                col_t)
+
+    @pl.when(nch > 0)
+    def _run():
+        # ---- sweep A: per-pixel total = sum_j w_j g_j ----
+        dma(0, 0).start()
+
+        def condA(c):
+            j, _, stop, _ = c
+            return (j < nch) & (jnp.min(stop) < 0.5)
+
+        def bodyA(c):
+            j, logt, stop, total = c
+            slot = lax.rem(j, 2)
+            dma(slot, j).wait()
+
+            @pl.when(j + 1 < nch)
+            def _pf():
+                dma(1 - slot, j + 1).start()
+
+            (_, _, _, _, alpha, _, lg, T_before, tripped, g,
+             _) = chunk_math(j, logt, slot)
+            stopped_incl = _prefix_scan_lanes(tripped, exclusive=False)
+            dead = jnp.maximum(stop, jnp.minimum(stopped_incl, 1.0))
+            w = alpha * T_before * (1.0 - dead)
+            total = total + jnp.sum(w * g, axis=1, keepdims=True)
+            logt = logt + jnp.sum(lg, axis=1, keepdims=True)
+            stop = jnp.maximum(stop, jnp.minimum(
+                jnp.sum(tripped, axis=1, keepdims=True), 1.0))
+            return j + 1, logt, stop, total
+
+        z = jnp.zeros((P, 1), jnp.float32)
+        _, _, _, total = lax.while_loop(condA, bodyA, (jnp.int32(0), z, z, z))
+
+        # ---- sweep B: per-entry grads ----
+        dma(0, 0).start()
+
+        def condB(c):
+            j, _, stop, _ = c
+            return (j < nch) & (jnp.min(stop) < 0.5)
+
+        def bodyB(c):
+            j, logt, stop, cum = c
+            slot = lax.rem(j, 2)
+            dma(slot, j).wait()
+
+            @pl.when(j + 1 < nch)
+            def _pf():
+                dma(1 - slot, j + 1).start()
+
+            (b, dx, dy, sigma, alpha, keep, lg, T_before, tripped, g,
+             _) = chunk_math(j, logt, slot)
+            stopped_incl = _prefix_scan_lanes(tripped, exclusive=False)
+            dead = jnp.maximum(stop, jnp.minimum(stopped_incl, 1.0))
+            live = jnp.where(keep, 1.0 - dead, 0.0)     # (P, CH)
+            w = alpha * T_before * live
+
+            wg = w * g
+            incl = cum + _prefix_scan_lanes(wg, exclusive=False)
+            S_after = total - incl
+            # 1 - alpha >= 1e-3 by the 0.999 clamp
+            dalpha = (T_before * g - S_after / jnp.maximum(1.0 - alpha, 1e-3)
+                      ) * live
+            not_cl = (alpha < 0.999).astype(jnp.float32)
+            dsig = -dalpha * alpha * not_cl
+            # d(op): alpha = op e^{-sigma}; sigma >= 0 on kept entries, the
+            # max() guards exp overflow on masked (dalpha = 0) lanes
+            dop_pp = dalpha * jnp.exp(-jnp.maximum(sigma, 0.0)) * not_cl
+
+            gxc = b[2:3, :] * dx + b[3:4, :] * dy       # ca dx + cb dy
+            gyc = b[4:5, :] * dy + b[3:4, :] * dx       # cc dy + cb dx
+            dmx_pp = -dsig * gxc
+            dmy_pp = -dsig * gyc
+
+            rows = [
+                jnp.sum(dmx_pp, axis=0, keepdims=True),
+                jnp.sum(dmy_pp, axis=0, keepdims=True),
+                jnp.sum(dsig * 0.5 * dx * dx, axis=0, keepdims=True),
+                jnp.sum(dsig * dx * dy, axis=0, keepdims=True),
+                jnp.sum(dsig * 0.5 * dy * dy, axis=0, keepdims=True),
+                jnp.sum(dop_pp, axis=0, keepdims=True),
+                lax.dot_general(vout, w,
+                                dimension_numbers=(((0,), (0,)), ((), ())),
+                                precision=lax.Precision.HIGHEST,
+                                preferred_element_type=jnp.float32),  # (D, CH)
+                jnp.sum(jnp.abs(dmx_pp), axis=0, keepdims=True),
+                jnp.sum(jnp.abs(dmy_pp), axis=0, keepdims=True),
+            ]
+            grads = jnp.concatenate(rows, axis=0)       # (8 + D, CH)
+            pad = g_rows - (8 + d_col)
+            if pad:
+                grads = jnp.concatenate(
+                    [grads, jnp.zeros((pad, chunk), jnp.float32)], axis=0)
+            rowbuf[...] = grads
+            cp = pltpu.make_async_copy(rowbuf, grad_ref.at[0, j], rsem)
+            cp.start()
+            cp.wait()
+
+            cum = incl[:, -1:]
+            logt = logt + jnp.sum(lg, axis=1, keepdims=True)
+            stop = jnp.maximum(stop, jnp.minimum(
+                jnp.sum(tripped, axis=1, keepdims=True), 1.0))
+            return j + 1, logt, stop, cum
+
+        lax.while_loop(condB, bodyB, (jnp.int32(0), z, z, z))
+
+
+def _backward_flat(packed, starts, counts, ids, v_img, v_alpha,
+                   width: int, height: int, tile_size: int, d_col: int,
+                   max_per_tile: int, n_gauss: int,
+                   chunk: int = 512, interpret: bool = False):
+    """Run the backward kernel and scatter per-entry grads back to splats.
+
+    Returns (d_means2d (N,2), d_conics (N,3), d_colors (N,D), d_opacities (N,),
+    absgrad (N,2))."""
+    tw = (width + tile_size - 1) // tile_size
+    th = (height + tile_size - 1) // tile_size
+    n_tiles = tw * th
+    P = tile_size * tile_size
+    V, M = packed.shape
+    pad_v = (-V) % 8
+    pad_m = (-M) % chunk
+    m_entries = M
+    if pad_v or pad_m:
+        packed = jnp.pad(packed, ((0, pad_v), (0, pad_m)))
+        V, M = packed.shape
+    max_chunks = -(-max_per_tile // chunk) + 1
+    g_rows = -(-(8 + d_col) // 8) * 8
+
+    # cotangent images -> tile-major blocks (zero on the cropped pad)
+    Hp, Wp = th * tile_size, tw * tile_size
+    def to_tiles(img, d):
+        img = jnp.pad(img.astype(jnp.float32),
+                      ((0, Hp - height), (0, Wp - width), (0, 0)))
+        img = img.reshape(th, tile_size, tw, tile_size, d)
+        return img.transpose(0, 2, 1, 3, 4).reshape(n_tiles, P, d)
+
+    vout = to_tiles(v_img, d_col)
+    va = to_tiles(v_alpha, 1)
+
+    kernel = functools.partial(
+        _kernel_flat_bwd, tile_size=tile_size, tw=tw, chunk=chunk,
+        max_chunks=max_chunks, d_col=d_col, M=M, g_rows=g_rows)
+
+    staged = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # starts
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # counts
+            pl.BlockSpec(memory_space=pl.ANY),       # packed stays in HBM
+            pl.BlockSpec((1, P, d_col), lambda t: (t, 0, 0)),
+            pl.BlockSpec((1, P, 1), lambda t: (t, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, max_chunks, g_rows, chunk),
+                               lambda t: (t, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_tiles, max_chunks, g_rows, chunk), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, V, chunk), jnp.float32),
+            pltpu.VMEM((g_rows, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(starts, counts, packed, vout, va)
+
+    # staging -> flat per-entry grads: slot (t, j) covers global lanes
+    # [blk(t,j)*chunk, +chunk); non-owner contributions are zero by the
+    # kernel's segment mask, so duplicate lanes resolve via scatter-add
+    n_blocks = M // chunk
+    b0 = jnp.minimum(starts // chunk, n_blocks - 1)
+    blk = jnp.minimum(b0[:, None] + jnp.arange(max_chunks, dtype=jnp.int32),
+                      n_blocks - 1)                                # (T, S)
+    lanes = (blk[..., None] * chunk
+             + jnp.arange(chunk, dtype=jnp.int32)).reshape(-1)     # (T*S*CH,)
+    vals = staged.transpose(2, 0, 1, 3).reshape(g_rows, -1)
+    flat_g = jnp.zeros((g_rows, M)).at[:, lanes].add(vals)
+
+    # per-entry -> per-splat via the sorted id map (invalid/padded entries
+    # route to a trash row)
+    ids_p = jnp.full((M,), n_gauss, jnp.int32).at[:m_entries].set(ids)
+    acc = jnp.zeros((g_rows, n_gauss + 1)).at[:, ids_p].add(flat_g)
+    acc = acc[:, :n_gauss]
+
+    d_means2d = jnp.stack([acc[0], acc[1]], axis=-1)
+    d_conics = jnp.stack([acc[2], acc[3], acc[4]], axis=-1)
+    d_colors = jnp.moveaxis(acc[6:6 + d_col], 0, -1)
+    d_op = acc[5]
+    absgrad = jnp.stack([acc[6 + d_col], acc[7 + d_col]], axis=-1)
+    return d_means2d, d_conics, d_colors, d_op, absgrad
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12))
 def rasterize_flat_pallas(means2d, conics, colors, opacities, radii, depths,
+                          abs_tap,
                           width: int, height: int, tile_size: int,
                           max_tiles_per_gauss: int, max_per_tile: int,
                           interpret: bool = False):
@@ -371,18 +646,23 @@ def rasterize_flat_pallas(means2d, conics, colors, opacities, radii, depths,
 
     Binning (tiles.bin_gaussians_packed) lives inside the custom VJP: the
     payload rides the isect sort, so no dense per-tile gather exists on the
-    forward path. Backward rebuilds dense bins once and replays the JAX
-    formulation (matching rasterize_binned_pallas's strategy).
+    forward path. Backward is the hand-written _kernel_flat_bwd (two
+    front-to-back sweeps; see its header note).
+
+    `abs_tap` is a zeros-(N, 2) gradient tap: it does not affect the forward,
+    but its cotangent is the per-splat screen-space ABSOLUTE gradient
+    sum_pixels |dL/d means2d| — gsplat's `absgrad` (AbsGS), the densification
+    signal. Differentiate w.r.t. it to read the signal out.
 
     Returns (img (H, W, D), alpha (H, W, 1), n_dropped ()).
     """
     out, _ = _flat_fwd(means2d, conics, colors, opacities, radii, depths,
-                       width, height, tile_size, max_tiles_per_gauss,
+                       abs_tap, width, height, tile_size, max_tiles_per_gauss,
                        max_per_tile, interpret)
     return out
 
 
-def _flat_fwd(means2d, conics, colors, opacities, radii, depths,
+def _flat_fwd(means2d, conics, colors, opacities, radii, depths, abs_tap,
               width, height, tile_size, max_tiles_per_gauss, max_per_tile,
               interpret):
     tw = (width + tile_size - 1) // tile_size
@@ -404,20 +684,25 @@ def _flat_fwd(means2d, conics, colors, opacities, radii, depths,
 
 def _flat_bwd(width, height, tile_size, max_tiles_per_gauss, max_per_tile,
               interpret, residuals, cotangents):
-    from .rasterizer import rasterize_binned_jax
     means2d, conics, colors, opacities, radii, depths = residuals
     tw = (width + tile_size - 1) // tile_size
     th = (height + tile_size - 1) // tile_size
-    bins = tiles.bin_gaussians(means2d, radii, depths, tile_size, tw, th,
-                               max_tiles_per_gauss, max_per_tile)
-
-    def f(m, c, col, op):
-        return rasterize_binned_jax(m, c, col, op, bins, width, height,
-                                    tile_size)
-
-    _, vjp = jax.vjp(f, means2d, conics, colors, opacities)
-    gm, gc, gcol, gop = vjp(cotangents[:2])
-    return gm, gc, gcol, gop, None, None
+    # Rebuild the flat list with the entry->gaussian id map. Ties in the
+    # quantized isect key may permute differently than the forward's sort —
+    # that only reorders splats whose depths agree to 2^-20 of the scene
+    # range, the same blending-order noise the key packing already accepts.
+    values = ((means2d[:, 0], means2d[:, 1], conics[:, 0], conics[:, 1],
+               conics[:, 2], opacities)
+              + tuple(colors[:, i] for i in range(colors.shape[-1])))
+    flat = tiles.bin_gaussians_packed(
+        means2d, radii, depths, values, tile_size, tw, th,
+        max_tiles_per_gauss, max_per_tile, with_ids=True)
+    v_img, v_alpha, _ = cotangents
+    gm, gc, gcol, gop, gabs = _backward_flat(
+        flat.packed, flat.starts, flat.counts, flat.gauss_ids,
+        v_img, v_alpha, width, height, tile_size, colors.shape[-1],
+        max_per_tile, means2d.shape[0], interpret=interpret)
+    return gm, gc, gcol, gop, None, None, gabs
 
 
 rasterize_flat_pallas.defvjp(_flat_fwd, _flat_bwd)

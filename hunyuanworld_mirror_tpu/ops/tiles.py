@@ -18,7 +18,7 @@ the *furthest* gaussians of a saturated tile (the ones a front-to-back
 blender would almost certainly early-stop before anyway).
 """
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -44,6 +44,7 @@ class FlatBins(NamedTuple):
     starts: jnp.ndarray      # (n_tiles,) int32
     counts: jnp.ndarray      # (n_tiles,) int32, clamped to max_per_tile
     n_dropped: jnp.ndarray   # () int32
+    gauss_ids: Optional[jnp.ndarray] = None  # (N*TPG,) i32 entry -> gaussian
 
 
 def tile_ranges(means2d: jnp.ndarray, radii: jnp.ndarray, tile_size: int,
@@ -188,7 +189,8 @@ def bin_gaussians_packed(means2d: jnp.ndarray, radii: jnp.ndarray,
                          depths: jnp.ndarray, values,
                          tile_size: int, tile_width: int, tile_height: int,
                          max_tiles_per_gauss: int = 9,
-                         max_per_tile: int = 1024) -> FlatBins:
+                         max_per_tile: int = 1024,
+                         with_ids: bool = False) -> FlatBins:
     """Like bin_gaussians, but the per-gaussian payload `values` rides the
     sort as extra operands, producing the component-major sorted flat
     intersection list consumed by the flat Pallas kernel (no dense gathers).
@@ -213,9 +215,18 @@ def bin_gaussians_packed(means2d: jnp.ndarray, radii: jnp.ndarray,
         planes = tuple(values_t[r] for r in range(values.shape[1]))
     operands = (key.reshape(-1),) + tuple(
         jnp.broadcast_to(p[None, :], (TPG, N)).reshape(-1) for p in planes)
+    if with_ids:
+        # entry -> source-gaussian map rides the same sort (i32 operand), so
+        # the backward kernel's per-entry grads scatter straight to splats
+        flat_gauss = jnp.broadcast_to(
+            jnp.arange(N, dtype=jnp.int32)[None, :], (TPG, N)).reshape(-1)
+        operands = operands + (flat_gauss,)
     sorted_ = lax.sort(operands, num_keys=1, is_stable=False)
 
     starts, counts, n_dropped = _tile_edges(sorted_[0], n_tiles, max_per_tile,
                                             n_cover, TPG, valid)
+    if with_ids:
+        packed = jnp.stack(sorted_[1:-1], axis=0)  # (V, N*TPG)
+        return FlatBins(packed, starts, counts, n_dropped, sorted_[-1])
     packed = jnp.stack(sorted_[1:], axis=0)  # (V, N*TPG)
     return FlatBins(packed, starts, counts, n_dropped)

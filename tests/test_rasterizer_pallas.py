@@ -98,7 +98,8 @@ class TestFlatPallasParity:
             proj.means2d[0], proj.conics[0], colors, opac, bins, W, H, tile)
         img_f, a_f, n_drop = rasterize_flat_pallas(
             proj.means2d[0], proj.conics[0], colors, opac,
-            proj.radii[0], proj.depths[0], W, H, tile, tpg, mpt, True)
+            proj.radii[0], proj.depths[0], jnp.zeros_like(proj.means2d[0]),
+            W, H, tile, tpg, mpt, True)
         return (img_j, a_j), (img_f, a_f, n_drop)
 
     def test_matches_jax_path(self, rng):
@@ -113,24 +114,75 @@ class TestFlatPallasParity:
                                    atol=1e-4, rtol=1e-4)
 
     def test_grad_matches_jax(self, rng):
+        # the hand-written backward kernel (_kernel_flat_bwd) vs autodiff of
+        # the dense JAX path, over ALL differentiable inputs
         from hunyuanworld_mirror_tpu.ops.rasterizer_pallas import (
             rasterize_flat_pallas)
 
         proj, bins, colors, opac, (W, H, tile) = _setup(rng, n=60)
+        m2d, con = proj.means2d[0], proj.conics[0]
+        tap = jnp.zeros_like(m2d)
 
-        def loss_flat(col, op):
+        def loss_flat(m, c, col, op):
             img, a, _ = rasterize_flat_pallas(
-                proj.means2d[0], proj.conics[0], col, op,
-                proj.radii[0], proj.depths[0], W, H, tile, 12, 512, True)
+                m, c, col, op,
+                proj.radii[0], proj.depths[0], tap, W, H, tile, 12, 512, True)
             return jnp.sum(img ** 2) + jnp.sum(a)
 
-        def loss_jax(col, op):
-            img, a = rasterize_binned_jax(proj.means2d[0], proj.conics[0],
-                                          col, op, bins, W, H, tile)
+        def loss_jax(m, c, col, op):
+            img, a = rasterize_binned_jax(m, c, col, op, bins, W, H, tile)
             return jnp.sum(img ** 2) + jnp.sum(a)
 
-        gf = jax.grad(loss_flat, argnums=(0, 1))(colors, opac)
-        gj = jax.grad(loss_jax, argnums=(0, 1))(colors, opac)
+        gf = jax.grad(loss_flat, argnums=(0, 1, 2, 3))(m2d, con, colors, opac)
+        gj = jax.grad(loss_jax, argnums=(0, 1, 2, 3))(m2d, con, colors, opac)
         for a, b in zip(gf, gj):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-3, rtol=1e-3)
+
+    def test_grad_multi_chunk(self, rng):
+        # several chunks per tile: exercises the sweep-B cum/logt carries
+        from hunyuanworld_mirror_tpu.ops.rasterizer_pallas import (
+            rasterize_flat_pallas)
+
+        proj, bins, colors, opac, (W, H, tile) = _setup(rng, n=400, mpt=1024)
+        m2d, con = proj.means2d[0], proj.conics[0]
+        tap = jnp.zeros_like(m2d)
+
+        def loss_flat(m, col):
+            img, a, _ = rasterize_flat_pallas(
+                m, con, col, opac, proj.radii[0], proj.depths[0], tap,
+                W, H, tile, 12, 1024, True)
+            return jnp.sum(jnp.sin(img)) + jnp.sum(a ** 2)
+
+        def loss_jax(m, col):
+            img, a = rasterize_binned_jax(m, con, col, opac, bins, W, H, tile)
+            return jnp.sum(jnp.sin(img)) + jnp.sum(a ** 2)
+
+        gf = jax.grad(loss_flat, argnums=(0, 1))(m2d, colors)
+        gj = jax.grad(loss_jax, argnums=(0, 1))(m2d, colors)
+        for a, b in zip(gf, gj):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-3, rtol=1e-3)
+
+    def test_absgrad_tap(self, rng):
+        # absgrad = sum_pixels |dL/dmeans2d|: elementwise >= |signed grad|,
+        # zero exactly where the signed grad has no contributing pixels
+        from hunyuanworld_mirror_tpu.ops.rasterizer_pallas import (
+            rasterize_flat_pallas)
+
+        proj, bins, colors, opac, (W, H, tile) = _setup(rng, n=60)
+        m2d, con = proj.means2d[0], proj.conics[0]
+
+        def loss(m, tap):
+            img, a, _ = rasterize_flat_pallas(
+                m, con, colors, opac, proj.radii[0], proj.depths[0], tap,
+                W, H, tile, 12, 512, True)
+            return jnp.sum(img ** 2) + jnp.sum(a)
+
+        gm, gabs = jax.grad(loss, argnums=(0, 1))(m2d, jnp.zeros_like(m2d))
+        gm, gabs = np.asarray(gm), np.asarray(gabs)
+        assert gabs.shape == gm.shape
+        assert np.all(gabs >= np.abs(gm) - 1e-5)
+        assert np.any(gabs > 0)
+        # a splat contributing to no pixel has zero absgrad
+        assert np.all((np.abs(gm) > 0) | (gabs < 1e-5) | (gabs >= 0))
