@@ -46,6 +46,9 @@ class WorldMirrorConfig:
     # splat-mean source (reference rasterization.py:389-498); see
     # gaussians.GSRendererConfig.position_from
     gs_position_from: str = "gsdepth+predcamera"
+    # post-prune static compaction (gaussians.GSRendererConfig.enable_compact);
+    # False keeps every voxel-merged splat (exact reference semantics)
+    gs_compact: bool = True
     # DPT decoder compute dtype; "float32" matches the reference's
     # autocast-off heads, "bfloat16" halves decoder HBM traffic (final
     # activations stay fp32 either way — see dpt.DPTConfig.compute_dtype)
@@ -97,7 +100,8 @@ class WorldMirrorConfig:
         return GSRendererConfig(feature_dim=self.gs_dim, sh_degree=self.sh_degree,
                                 voxel_size=self.voxel_size,
                                 rasterizer_impl=self.rasterizer_impl,
-                                position_from=self.gs_position_from)
+                                position_from=self.gs_position_from,
+                                enable_compact=self.gs_compact)
 
 
 def init(key, cfg: WorldMirrorConfig):
@@ -145,7 +149,8 @@ def extract_priors(views: Dict[str, jnp.ndarray], image_hw):
 
 def forward(params, cfg: WorldMirrorConfig, views: Dict[str, jnp.ndarray],
             cond_flags: Sequence[int] = (0, 0, 0),
-            render: bool = True, ring_mesh=None) -> Dict[str, jnp.ndarray]:
+            render: bool = True, ring_mesh=None,
+            trunk_dtype=jnp.bfloat16) -> Dict[str, jnp.ndarray]:
     """Full model forward.
 
     Args:
@@ -169,7 +174,7 @@ def forward(params, cfg: WorldMirrorConfig, views: Dict[str, jnp.ndarray],
     token_list, patch_start_idx = aggregator.forward(
         params["vgt"], cfg.vgt, imgs, priors=priors,
         cond_flags=cond_flags if use_cond else (0, 0, 0),
-        ring_mesh=ring_mesh)
+        dtype=trunk_dtype, ring_mesh=ring_mesh)
 
     preds: Dict[str, jnp.ndarray] = {}
 

@@ -282,6 +282,15 @@ def rasterize(
         # the Pallas kernel only lowers on TPU (CPU would need interpret
         # mode, ~100x slower); the jax path is parity-tested identical
         impl = "jax"
+    if abs_tap is not None and (impl != "pallas" or with_eval3d):
+        # only the flat Pallas backward computes the AbsGS tap; every other
+        # path would silently return a zero cotangent and starve an
+        # absgrad-driven densifier
+        raise ValueError(
+            "abs_tap is only differentiable with impl='pallas' on TPU "
+            f"(got impl={impl!r}, with_eval3d={with_eval3d}, "
+            f"backend={jax.default_backend()!r}); drop abs_tap or use the "
+            "mean-gradient densification signal instead")
     if quat_order == "wxyz":
         quats = quats[..., jnp.array([1, 2, 3, 0])]
 

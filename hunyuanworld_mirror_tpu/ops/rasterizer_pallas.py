@@ -297,9 +297,17 @@ def _kernel_flat(starts_ref, counts_ref, packed_hbm,
                 jnp.sum(tripped, axis=1, keepdims=True), 1.0))
             return j + 1, logt, stop
 
-        lax.while_loop(cond, body, (jnp.int32(0),
-                                    jnp.zeros((P, 1), jnp.float32),
-                                    jnp.zeros((P, 1), jnp.float32)))
+        jf, _, _ = lax.while_loop(cond, body, (jnp.int32(0),
+                                               jnp.zeros((P, 1), jnp.float32),
+                                               jnp.zeros((P, 1), jnp.float32)))
+
+        # Drain: if the loop exited early (all pixels stopped) right after
+        # prefetching chunk jf, that DMA is still in flight — wait it here so
+        # its semaphore credit can't mispair with a later copy into the same
+        # slot (scratch persists across grid steps).
+        @pl.when(jf < nch)
+        def _drain():
+            dma(lax.rem(jf, 2), jf).wait()
 
 
 def _forward_flat(packed, starts, counts, width: int, height: int,
@@ -475,7 +483,13 @@ def _kernel_flat_bwd(starts_ref, counts_ref, packed_hbm, vout_ref, va_ref,
             return j + 1, logt, stop, total
 
         z = jnp.zeros((P, 1), jnp.float32)
-        _, _, _, total = lax.while_loop(condA, bodyA, (jnp.int32(0), z, z, z))
+        jfA, _, _, total = lax.while_loop(condA, bodyA, (jnp.int32(0), z, z, z))
+
+        # Drain sweep A's in-flight prefetch before sweep B reuses the same
+        # buffer slots / semaphores (see the matching drain in _kernel_flat).
+        @pl.when(jfA < nch)
+        def _drainA():
+            dma(lax.rem(jfA, 2), jfA).wait()
 
         # ---- sweep B: per-entry grads ----
         dma(0, 0).start()
@@ -547,7 +561,11 @@ def _kernel_flat_bwd(starts_ref, counts_ref, packed_hbm, vout_ref, va_ref,
                 jnp.sum(tripped, axis=1, keepdims=True), 1.0))
             return j + 1, logt, stop, cum
 
-        lax.while_loop(condB, bodyB, (jnp.int32(0), z, z, z))
+        jfB, _, _, _ = lax.while_loop(condB, bodyB, (jnp.int32(0), z, z, z))
+
+        @pl.when(jfB < nch)
+        def _drainB():
+            dma(lax.rem(jfB, 2), jfB).wait()
 
 
 def _backward_flat(packed, starts, counts, ids, v_img, v_alpha,
@@ -687,10 +705,10 @@ def _flat_bwd(width, height, tile_size, max_tiles_per_gauss, max_per_tile,
     means2d, conics, colors, opacities, radii, depths = residuals
     tw = (width + tile_size - 1) // tile_size
     th = (height + tile_size - 1) // tile_size
-    # Rebuild the flat list with the entry->gaussian id map. Ties in the
-    # quantized isect key may permute differently than the forward's sort —
-    # that only reorders splats whose depths agree to 2^-20 of the scene
-    # range, the same blending-order noise the key packing already accepts.
+    # Rebuild the flat list with the entry->gaussian id map. The binning sort
+    # carries a unique per-entry tiebreak key (tiles.bin_gaussians_packed), so
+    # this re-bin replays the exact forward blending order, including
+    # quantized-depth ties.
     values = ((means2d[:, 0], means2d[:, 1], conics[:, 0], conics[:, 1],
                conics[:, 2], opacities)
               + tuple(colors[:, i] for i in range(colors.shape[-1])))

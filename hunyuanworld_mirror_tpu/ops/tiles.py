@@ -170,10 +170,14 @@ def bin_gaussians(means2d: jnp.ndarray, radii: jnp.ndarray, depths: jnp.ndarray,
 
     key, n_cover, valid = _isect_keys(means2d, radii, depths, tile_size,
                                       tile_width, tile_height, TPG)
-    flat_gauss = jnp.broadcast_to(
-        jnp.arange(N, dtype=jnp.int32)[None, :], (TPG, N)).reshape(-1)
-    sorted_keys, sorted_gauss = lax.sort(
-        (key.reshape(-1), flat_gauss), num_keys=1, is_stable=False)
+    # Unique flat entry index as a second sort key: quantized-depth ties then
+    # order deterministically, so every re-bin (e.g. the backward's) replays
+    # the exact blending order of the forward. gauss id = index % N (layout
+    # is (TPG, N) row-major).
+    flat_idx = jnp.arange(N * TPG, dtype=jnp.int32)
+    sorted_keys, sorted_idx = lax.sort(
+        (key.reshape(-1), flat_idx), num_keys=2, is_stable=False)
+    sorted_gauss = lax.rem(sorted_idx, N)
 
     starts, counts, n_dropped = _tile_edges(sorted_keys, n_tiles, max_per_tile,
                                             n_cover, TPG, valid)
@@ -213,20 +217,20 @@ def bin_gaussians_packed(means2d: jnp.ndarray, radii: jnp.ndarray,
         # TPU and cost more than the sort itself
         values_t = values.T  # (V, N)
         planes = tuple(values_t[r] for r in range(values.shape[1]))
-    operands = (key.reshape(-1),) + tuple(
+    # Unique flat entry index as a second sort key: makes the permutation a
+    # deterministic total order, so the backward's re-bin replays the exact
+    # forward blending order even across quantized-depth ties. It also IS the
+    # entry -> gaussian map (gauss id = index % N, layout (TPG, N) row-major),
+    # so with_ids costs nothing extra.
+    flat_idx = jnp.arange(N * TPG, dtype=jnp.int32)
+    operands = (key.reshape(-1), flat_idx) + tuple(
         jnp.broadcast_to(p[None, :], (TPG, N)).reshape(-1) for p in planes)
-    if with_ids:
-        # entry -> source-gaussian map rides the same sort (i32 operand), so
-        # the backward kernel's per-entry grads scatter straight to splats
-        flat_gauss = jnp.broadcast_to(
-            jnp.arange(N, dtype=jnp.int32)[None, :], (TPG, N)).reshape(-1)
-        operands = operands + (flat_gauss,)
-    sorted_ = lax.sort(operands, num_keys=1, is_stable=False)
+    sorted_ = lax.sort(operands, num_keys=2, is_stable=False)
 
     starts, counts, n_dropped = _tile_edges(sorted_[0], n_tiles, max_per_tile,
                                             n_cover, TPG, valid)
+    packed = jnp.stack(sorted_[2:], axis=0)  # (V, N*TPG)
     if with_ids:
-        packed = jnp.stack(sorted_[1:-1], axis=0)  # (V, N*TPG)
-        return FlatBins(packed, starts, counts, n_dropped, sorted_[-1])
-    packed = jnp.stack(sorted_[1:], axis=0)  # (V, N*TPG)
+        return FlatBins(packed, starts, counts, n_dropped,
+                        lax.rem(sorted_[1], N))
     return FlatBins(packed, starts, counts, n_dropped)

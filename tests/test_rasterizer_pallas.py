@@ -184,5 +184,12 @@ class TestFlatPallasParity:
         assert gabs.shape == gm.shape
         assert np.all(gabs >= np.abs(gm) - 1e-5)
         assert np.any(gabs > 0)
-        # a splat contributing to no pixel has zero absgrad
-        assert np.all((np.abs(gm) > 0) | (gabs < 1e-5) | (gabs >= 0))
+        # a splat rasterized to no pixel (culled: radii == 0) must have an
+        # exactly-zero absgrad
+        culled = np.asarray(proj.radii[0].min(axis=-1) <= 0)
+        if culled.any():
+            assert np.all(gabs[culled] == 0.0)
+        # and wherever the signed mean-grad is zero in BOTH components the
+        # splat contributed no pixel, so the abs accumulation is zero too
+        no_contrib = np.all(gm == 0.0, axis=-1)
+        assert np.all(gabs[no_contrib] == 0.0)
