@@ -2,30 +2,168 @@
 
 Driver metric (BASELINE.json): frames/sec/chip at 518px N-view inference.
 The reference publishes no wall-clock number (BASELINE.md: "printed per run,
-none published"), so `vs_baseline` is reported against a fixed reference
-estimate of 2.0 frames/s (an A100-class bf16 run of the torch pipeline per
-the tech-report setup) until a measured torch baseline lands.
+none published"), so `vs_baseline` divides by a fixed 2.0 frames/s ESTIMATE
+of an A100-class bf16 torch run — it is labeled as such in the output; the
+honest absolute figures are `value` (f/s/chip), `mfu` (fraction of the
+detected chip's bf16 peak sustained over the analytic model FLOPs), and the
+per-phase millisecond breakdown.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line:
+  {"metric", "value", "unit", "vs_baseline", "baseline_note", "chip",
+   "model_tflops_per_frame", "achieved_tflops_per_s", "mfu",
+   "phases_ms": {...}, "long_seq": {...}, "comm": {...}}
 """
 
 import json
+import os
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
 
-REFERENCE_FRAMES_PER_SEC = 2.0
+REFERENCE_FRAMES_PER_SEC = 2.0  # estimate — see module docstring
+BASELINE_NOTE = ("reference publishes no wall-clock number; 2.0 f/s is an "
+                 "A100-class estimate (BASELINE.md) — mfu/phases are the "
+                 "measured figures")
+
+
+# ---------------------------------------------------------------------------
+# analytic model FLOPs (forward, bf16 trunk / fp32 heads)
+# ---------------------------------------------------------------------------
+
+def _block_flops(tokens: float, C: float, n_seq: float, seq_len: float,
+                 mlp_ratio: float = 4.0) -> float:
+    """One pre-LN transformer block: qkv(3C)+proj(C)+mlp(2*ratio*C) GEMMs
+    plus the two attention matmuls."""
+    linear = 2.0 * tokens * C * (4 * C + 2 * mlp_ratio * C)
+    attn = 4.0 * n_seq * seq_len * seq_len * C
+    return linear + attn
+
+
+def encoder_flops(BS: int, P: int, C: int = 1024, depth: int = 24) -> float:
+    """DINOv2 ViT-L/14 over B*S frames (cls + 4 reg + P patch tokens)."""
+    N = P + 5
+    return depth * _block_flops(BS * N, C, BS, N) + 2.0 * BS * P * (14 * 14 * 3) * C
+
+
+def trunk_flops(B: int, S: int, P: int, C: int = 1024, depth: int = 24,
+                n_special: int = 5) -> float:
+    """24x alternating (frame, global) blocks."""
+    Nf = P + n_special
+    T = B * S * Nf
+    frame = _block_flops(T, C, B * S, Nf)
+    glob = _block_flops(T, C, B, S * Nf)
+    return depth * (frame + glob)
+
+
+def dpt_flops(S: int, H: int, W: int, dim_in: int = 2048, f: int = 256,
+              ocs=(256, 512, 1024, 1024), output_dim: int = 4) -> float:
+    """One DPT head over S frames at (H, W), patch 14 (models/dpt.py)."""
+    ph, pw = H // 14, W // 14
+    p2 = ph * pw
+    fl = 0.0
+    # token projections (1x1) + resizes
+    for oc in ocs:
+        fl += 2.0 * p2 * dim_in * oc
+    fl += 2.0 * p2 * 16 * ocs[0] * ocs[0]        # convT 4x4 s4
+    fl += 2.0 * p2 * 4 * ocs[1] * ocs[1]         # convT 2x2 s2
+    fl += 2.0 * (p2 / 4) * 9 * ocs[3] * ocs[3]   # conv 3x3 s2
+    # scratch layer_rn 3x3 -> f at each level resolution
+    res = [16 * p2, 4 * p2, p2, p2 / 4]
+    for r, oc in zip(res, ocs):
+        fl += 2.0 * r * 9 * oc * f
+    # refinenets: residual units (2 convs 3x3 f->f) + 1x1 out conv at 2x res
+    units = [1, 2, 2, 2]  # refine4 has no res1
+    for r, u in zip(res[::-1], units):
+        fl += u * 2 * 2.0 * r * 9 * f * f
+        fl += 2.0 * (4 * r) * f * f
+    # output head: conv1 3x3 f->f/2 at 2*highest res, then 3x3 f/2->32 and
+    # 1x1 32->out at full H*W
+    fl += 2.0 * (4 * res[0]) * 9 * f * (f // 2)
+    fl += 2.0 * H * W * 9 * (f // 2) * 32 + 2.0 * H * W * 32 * output_dim
+    return S * fl
+
+
+def model_flops(B: int, S: int, H: int, W: int, C: int = 1024,
+                gs_dim: int = 256) -> dict:
+    """Analytic forward FLOPs by phase (rasterization excluded: its cost is
+    data-dependent; utils/profiling.rasterizer_bytes covers its roofline)."""
+    P = (H // 14) * (W // 14)
+    enc = encoder_flops(B * S, P, C)
+    trk = trunk_flops(B, S, P, C)
+    heads = (dpt_flops(B * S, H, W, 2 * C, 256, output_dim=4) * 2  # pts, norm
+             + dpt_flops(B * S, H, W, 2 * C, 256, output_dim=2)    # depth
+             + dpt_flops(B * S, H, W, 2 * C, gs_dim, output_dim=2))  # gs
+    # camera head: 4 steps x 4 blocks on B*S tokens of dim 2C
+    heads += 4 * 4 * _block_flops(B * S, 2 * C, B, S)
+    # gs param head convs at full res
+    heads += B * S * H * W * (2.0 * 9 * (gs_dim // 2) * gs_dim
+                              + 2.0 * gs_dim * 14)
+    return {"encoder": enc, "trunk": trk, "heads": heads,
+            "total": enc + trk + heads}
+
+
+# ---------------------------------------------------------------------------
+# comm-volume accounting for the multi-chip programs (analytic)
+# ---------------------------------------------------------------------------
+
+def comm_report(S: int, H: int, W: int, n_view_shards: int, C: int = 1024,
+                depth: int = 24, n_splats: int = None, d_col: int = 4) -> dict:
+    """Bytes moved per forward by the two communicating subsystems when views
+    are sharded n_view_shards-ways (parallel/mesh.py view axis).
+
+    ring attention (parallel/ring.py): per global layer each device ppermutes
+    its KV shard around the ring — (V-1) hops x 2 (K,V) x shard tokens x C x
+    2B (bf16). The dense alternative all-gathers the same KV volume but as
+    one burst (no compute overlap) and then pays the full O((S*P)^2) logits
+    locally; ring's advantage is overlap + O(N) memory, volume is identical.
+
+    distributed rasterization (ops/distributed.py): camera broadcast
+    (all_gather, small) + one all_to_all exchanging projected splats
+    (rows = [means2d(2), conic(3), opac(1), color(d_col)] f32) so each device
+    owns all splats for its cameras: shard_N x rows x 4B x (V-1)/V per camera.
+    """
+    P = (H // 14) * (W // 14)
+    Nf = P + 5
+    kv_shard = 2 * (S // max(n_view_shards, 1)) * Nf * C * 2
+    ring_layer = (n_view_shards - 1) * kv_shard
+    n_splats = n_splats if n_splats is not None else S * H * W // 2
+    a2a_cam = (n_splats // max(n_view_shards, 1)) * (6 + d_col) * 4 \
+        * (n_view_shards - 1) // max(n_view_shards, 1)
+    return {
+        "view_shards": n_view_shards,
+        "ring_bytes_per_global_layer_per_dev": ring_layer,
+        "ring_bytes_total_per_dev": ring_layer * depth,
+        "raster_all2all_bytes_per_camera_per_dev": a2a_cam,
+        "raster_all2all_bytes_total_per_dev": a2a_cam * S,
+    }
+
+
+# ---------------------------------------------------------------------------
+# measurement
+# ---------------------------------------------------------------------------
+
+def _readback(tree):
+    # NB: through the axon relay, block_until_ready does NOT await remote
+    # execution — a host readback is the only reliable sync point.
+    leaf = jax.tree.leaves(tree)[0]
+    return float(jnp.asarray(leaf).reshape(-1)[0])
+
+
+def _time(fn, *args, iters=3, warmup=1):
+    for _ in range(warmup):
+        _readback(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        _readback(fn(*args))
+    return (time.perf_counter() - t0) / iters
 
 
 def build(views_s: int, img: int, render: bool):
     from hunyuanworld_mirror_tpu.models import worldmirror
 
-    cfg = worldmirror.WorldMirrorConfig(
-        img_size=img,
-        rasterizer_impl="pallas",
-    )
+    cfg = worldmirror.WorldMirrorConfig(img_size=img, rasterizer_impl="pallas")
     params = worldmirror.init(jax.random.PRNGKey(0), cfg)
     # bf16 param storage for inference: halves HBM traffic on the weight side
     params = jax.tree.map(
@@ -33,27 +171,90 @@ def build(views_s: int, img: int, render: bool):
     views = {"img": jnp.ones((1, views_s, img, img, 3), jnp.float32) * 0.5}
 
     fwd = jax.jit(lambda p, v: worldmirror.forward(p, cfg, v, render=render))
-    return fwd, params, views
+    return fwd, params, views, cfg
 
 
-def run(views_s: int = 4, img: int = 518, render: bool = True, iters: int = 3):
-    fwd, params, views = build(views_s, img, render)
-    out = fwd(params, views)
-    # NB: through the axon relay, block_until_ready does NOT await remote
-    # execution — a host readback is the only reliable sync point.
-    float(out["depth"].mean())  # compile + warmup
+def phase_breakdown(params, cfg, views, iters=3) -> dict:
+    """Per-phase ms via separately jitted stages. Sums differ from e2e by
+    whatever cross-phase fusion XLA finds; both are reported."""
+    from hunyuanworld_mirror_tpu.models import (aggregator, camera_head, dinov2,
+                                                dpt, gaussians, worldmirror)
+    imgs = views["img"]
+    B, S, H, W, _ = imgs.shape
 
-    t0 = time.perf_counter()
-    acc = 0.0
-    for _ in range(iters):
-        out = fwd(params, views)
-        acc += float(out["depth"].mean())
-    dt = (time.perf_counter() - t0) / iters
-    assert acc == acc
-    return views_s / dt
+    agg = jax.jit(lambda p, im: aggregator.forward(p, cfg.vgt, im)[0])
+    t_agg = _time(agg, params["vgt"], imgs, iters=iters)
+
+    dino = jax.jit(lambda p, im: dinov2.forward_features(
+        p, cfg.vgt.vit_config, im, dtype=jnp.bfloat16))
+    flat = imgs.reshape(B * S, H, W, 3)
+    t_dino = _time(dino, params["vgt"]["patch_embed"], flat, iters=iters)
+
+    token_list = jax.tree.map(lambda x: x, agg(params["vgt"], imgs))
+
+    start = cfg.vgt.patch_start_idx
+
+    def heads_fn(p, toks, im):
+        preds = {}
+        cam_seq = camera_head.forward(p["cam_head"], cfg.cam_head, toks)
+        preds["camera_params"] = cam_seq[-1]
+        preds["depth"], preds["depth_conf"] = dpt.forward(
+            p["depth_head"], cfg.depth_head, toks, im, start)
+        preds["pts3d"], _ = dpt.forward(p["pts_head"], cfg.pts_head, toks, im, start)
+        preds["normals"], _ = dpt.forward(p["norm_head"], cfg.norm_head, toks, im, start)
+        gs_feat, preds["gs_depth"], preds["gs_depth_conf"] = dpt.forward(
+            p["gs_head"], cfg.gs_head, toks, im, start)
+        return preds, gs_feat
+
+    heads = jax.jit(heads_fn)
+    t_heads = _time(heads, params, token_list, imgs, iters=iters)
+    preds, gs_feat = heads(params, token_list, imgs)
+    preds = jax.tree.map(lambda x: x, preds)
+
+    render = jax.jit(lambda p, gf, im, pr: gaussians.render(
+        p["gs_renderer"], cfg.gs_renderer, gf, im, dict(pr))["rendered_colors"])
+    t_render = _time(render, params, gs_feat, imgs, iters=iters)
+
+    return {"encoder": 1e3 * t_dino,
+            "trunk": 1e3 * (t_agg - t_dino),
+            "heads": 1e3 * t_heads,
+            "gs_render": 1e3 * t_render}
+
+
+def run_e2e(views_s: int = 4, img: int = 518, render: bool = True, iters: int = 3):
+    fwd, params, views, cfg = build(views_s, img, render)
+    dt = _time(fwd, params, views, iters=iters)
+    return views_s / dt, dt, (params, cfg, views)
+
+
+def run_long_seq(img: int = 518):
+    """North-star long-sequence config: as many views as one chip fits.
+    Needs the O(N)-memory flash attention core (a dense S=32 global softmax
+    is a 62 GB logits tensor)."""
+    prev = os.environ.get("WM_ATTN_IMPL")
+    os.environ["WM_ATTN_IMPL"] = "flash"
+    try:
+        for s in (32, 16, 8):
+            try:
+                fps, dt, _ = run_e2e(s, img, render=False, iters=2)
+                return {"views": s, "frames_per_sec": round(fps, 4),
+                        "ms_per_forward": round(1e3 * dt, 1),
+                        "attn_impl": "flash"}
+            except Exception as e:
+                print(f"long-seq S={s} failed: {type(e).__name__}: {e}",
+                      file=sys.stderr)
+        return {"views": 0}
+    finally:
+        if prev is None:
+            os.environ.pop("WM_ATTN_IMPL", None)
+        else:
+            os.environ["WM_ATTN_IMPL"] = prev
 
 
 def main():
+    from hunyuanworld_mirror_tpu.utils.profiling import detect_chip
+    chip = detect_chip()
+
     configs = [
         dict(views_s=4, img=518, render=True),
         dict(views_s=4, img=518, render=False),
@@ -61,12 +262,13 @@ def main():
         dict(views_s=2, img=266, render=False),
     ]
     fps = None
-    for cfg in configs:
+    for c in configs:
         try:
-            fps = run(**cfg)
+            fps, dt, (params, cfg, views) = run_e2e(**c)
+            used = c
             break
         except Exception as e:  # OOM or compile failure: degrade and report
-            print(f"bench config {cfg} failed: {type(e).__name__}: {e}",
+            print(f"bench config {c} failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
     if fps is None:
         print(json.dumps({"metric": "frames_per_sec_per_chip_518px",
@@ -74,12 +276,41 @@ def main():
                           "vs_baseline": 0.0}))
         return
 
-    print(json.dumps({
+    S, img = used["views_s"], used["img"]
+    fl = model_flops(1, S, img, img)
+    achieved = fl["total"] / dt
+    mfu = achieved / chip.peak_flops_bf16
+
+    try:
+        phases = {k: round(v, 1) for k, v in
+                  phase_breakdown(params, cfg, views).items()}
+    except Exception as e:
+        print(f"phase breakdown failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+        phases = {}
+
+    long_seq = {}
+    try:
+        long_seq = run_long_seq(img)
+    except Exception as e:
+        print(f"long-seq bench failed: {type(e).__name__}: {e}", file=sys.stderr)
+
+    out = {
         "metric": "frames_per_sec_per_chip_518px",
         "value": round(fps, 4),
         "unit": "frames/s/chip",
         "vs_baseline": round(fps / REFERENCE_FRAMES_PER_SEC, 4),
-    }))
+        "baseline_note": BASELINE_NOTE,
+        "chip": chip.name,
+        "config": {"views": S, "img": img, "render": used["render"]},
+        "model_tflops_per_frame": round(fl["total"] / S / 1e12, 3),
+        "achieved_tflops_per_s": round(achieved / 1e12, 2),
+        "mfu": round(mfu, 4),
+        "phases_ms": phases,
+        "long_seq": long_seq,
+        "comm": comm_report(32, img, img, n_view_shards=8),
+    }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

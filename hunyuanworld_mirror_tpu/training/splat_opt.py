@@ -53,6 +53,22 @@ class SplatOptConfig:
     min_opacity: float = 0.005
     # visibility-masked Adam (gsplat SelectiveAdam / AdamCUDA.cu)
     use_selective_adam: bool = False
+    # densification signal (gsplat strategy/default.py:12 semantics):
+    #   "absgrad" — per-splat screen-space SUM of |dL/d means2d| from the
+    #               Pallas backward's AbsGS tap (gsplat absgrad=True), scaled
+    #               to half-image units like gsplat's threshold expects;
+    #   "mean3d"  — norm of the world-space mean gradient (works on every
+    #               impl/backend);
+    #   "auto"    — absgrad when the Pallas path computes it (impl="pallas"
+    #               on TPU), else mean3d.
+    densify_signal: str = "auto"
+
+    def resolved_signal(self) -> str:
+        if self.densify_signal != "auto":
+            return self.densify_signal
+        return ("absgrad" if (self.rasterizer_impl == "pallas"
+                              and jax.default_backend() == "tpu")
+                else "mean3d")
 
 
 def _raw_from_splats(splats: Dict[str, jnp.ndarray], capacity: int) -> Dict:
@@ -104,25 +120,32 @@ def make_optimizer(cfg: SplatOptConfig, scene_scale: float = 1.0):
 
 
 def render_splats(raw: Dict, viewmats: jnp.ndarray, Ks: jnp.ndarray,
-                  width: int, height: int, cfg: SplatOptConfig):
+                  width: int, height: int, cfg: SplatOptConfig,
+                  abs_tap: Optional[jnp.ndarray] = None):
     means, quats, scales, opac, sh = _activate(raw)
     colors, alphas, meta = rasterizer.rasterize(
         means, quats, scales, opac, sh, viewmats, Ks, width, height,
         tile_size=cfg.tile_size, render_mode="RGB+ED",
         max_per_tile=cfg.max_per_tile, impl=cfg.rasterizer_impl,
-        quat_order="wxyz")
+        quat_order="wxyz", abs_tap=abs_tap)
     return colors, alphas, meta
 
 
 def make_train_step(cfg: SplatOptConfig, tx, width: int, height: int):
+    use_abs = cfg.resolved_signal() == "absgrad"
+
     def step(raw, opt_state, viewmats, Ks, gt_images):
-        def loss_fn(r):
-            colors, _, meta = render_splats(r, viewmats, Ks, width, height, cfg)
+        tap = jnp.zeros((raw["means"].shape[0], 2), jnp.float32)
+
+        def loss_fn(r, t):
+            colors, _, meta = render_splats(r, viewmats, Ks, width, height,
+                                            cfg, abs_tap=t if use_abs else None)
             rgb = colors[..., :3]
             loss = losses.photometric_loss(rgb, gt_images, cfg.ssim_lambda)
             return loss, meta
 
-        (loss, meta), grads = jax.value_and_grad(loss_fn, has_aux=True)(raw)
+        (loss, meta), (grads, tap_grad) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(raw, tap)
         # Dead (padded) slots sit at the origin where the perspective divide
         # is singular — their grads are NaN by construction. They are not
         # parameters; zero their rows so the optimizer state stays clean
@@ -132,8 +155,16 @@ def make_train_step(cfg: SplatOptConfig, tx, width: int, height: int):
             lambda g: jnp.where(
                 alive_rows.reshape((-1,) + (1,) * (g.ndim - 1)), g, 0.0),
             grads)
-        # track per-splat screen-space gradient magnitude for densification
-        g2d = jnp.linalg.norm(grads["means"], axis=-1)
+        if use_abs:
+            # AbsGS screen-space signal in gsplat's units: pixel-space
+            # |dL/dmean2d| scaled by half the image size
+            # (gsplat strategy/default.py: grads *= [W/2, H/2])
+            scale = jnp.asarray([width * 0.5, height * 0.5], jnp.float32)
+            g2d = jnp.linalg.norm(tap_grad * scale, axis=-1)
+            g2d = jnp.where(alive_rows, g2d, 0.0)
+        else:
+            # world-space fallback (every impl/backend)
+            g2d = jnp.linalg.norm(grads["means"], axis=-1)
         updates, opt_state = tx.update(grads, opt_state, raw)
         raw = optax.apply_updates(raw, updates)
         return raw, opt_state, loss, g2d
@@ -241,16 +272,22 @@ def optimize_splats(
     gt = jnp.asarray(images)
 
     key = jax.random.PRNGKey(seed)
-    grad_accum = jnp.zeros((capacity,))
+    # gsplat DefaultStrategy accumulation: per-splat grad sums averaged over
+    # the steps the splat was actually visible (strategy/default.py state
+    # grad2d/count)
+    grad_sum = jnp.zeros((capacity,))
+    seen = jnp.zeros((capacity,))
     for it in range(cfg.iters):
         raw, opt_state, loss, g2d = step_fn(raw, opt_state, viewmats, Ks_j, gt)
-        grad_accum = jnp.maximum(grad_accum, g2d)
+        grad_sum = grad_sum + g2d
+        seen = seen + (g2d > 0)
         if (cfg.refine_start <= it < cfg.refine_stop
                 and (it + 1) % cfg.refine_every == 0):
             key, sub = jax.random.split(key)
-            raw = refine_fn(raw, grad_accum, sub)
+            raw = refine_fn(raw, grad_sum / jnp.maximum(seen, 1.0), sub)
             opt_state = tx.init(raw)  # reset moments after topology change
-            grad_accum = jnp.zeros((capacity,))
+            grad_sum = jnp.zeros((capacity,))
+            seen = jnp.zeros((capacity,))
         if noise_fn is not None:
             # MCMC: exploration noise after every optimizer step
             # (reference mcmc.py:141-145)

@@ -104,8 +104,19 @@ def _prepare_batch(cfg: TrainConfig, batch: Dict[str, np.ndarray]) -> Dict:
     return out
 
 
-def train(cfg: TrainConfig, log_fn=print):
+def train(cfg: TrainConfig, log_fn=print, tb_logdir=None):
+    """Run the fork-workload training loop.
+
+    `tb_logdir`: optional directory — scalar losses are then also written in
+    TensorBoard event format (training/tb_writer.py, the reference's wandb /
+    tensorboard logging equivalent, reference train.py:154).
+    """
     from .data import ShardedLoader
+
+    tb = None
+    if tb_logdir:
+        from .tb_writer import TBWriter
+        tb = TBWriter(tb_logdir)
 
     key = jax.random.PRNGKey(cfg.seed)
     params = model_init(cfg, key)
@@ -140,6 +151,11 @@ def train(cfg: TrainConfig, log_fn=print):
             if step % cfg.log_every == 0:
                 log_fn(f"epoch {epoch} step {step}: loss={float(loss):.4f} "
                        + " ".join(f"{k}={float(v):.4f}" for k, v in logs.items()))
+                if tb is not None:
+                    tb.scalars({"loss/train": float(loss),
+                                **{f"loss/{k}": float(v)
+                                   for k, v in logs.items()}}, step)
+                    tb.flush()
 
         if test_loader is not None:
             tot, n = 0.0, 0
@@ -150,6 +166,9 @@ def train(cfg: TrainConfig, log_fn=print):
                 n += 1
             log_fn(f"epoch {epoch}: test loss {tot / max(n, 1):.4f} "
                    f"({time.time() - t0:.0f}s)")
+            if tb is not None:
+                tb.scalars({"loss/test": tot / max(n, 1)}, step)
+                tb.flush()
 
         if (epoch + 1) % cfg.ckpt_every_epochs == 0:
             ckpt_lib.save_params(cfg.ckpt_path, params, step=step,
@@ -157,4 +176,6 @@ def train(cfg: TrainConfig, log_fn=print):
             log_fn(f"saved checkpoint -> {cfg.ckpt_path}")
 
     ckpt_lib.save_params(cfg.ckpt_path, params, step=step, opt_state=opt_state)
+    if tb is not None:
+        tb.close()
     return params

@@ -151,17 +151,27 @@ def accuracy_completeness(pred_pts: np.ndarray, gt_pts: np.ndarray,
 # NVS image metrics
 # ---------------------------------------------------------------------------
 
-def nvs_metrics(pred: np.ndarray, target: np.ndarray) -> dict:
-    """PSNR + SSIM over (..., H, W, 3) images in [0, 1]. LPIPS requires a
-    pretrained VGG and is reported by tools/eval.py only when the torch
-    `lpips`/torchmetrics package is importable (gated per env rules)."""
+def nvs_metrics(pred: np.ndarray, target: np.ndarray,
+                lpips_params=None) -> dict:
+    """PSNR + SSIM (+ LPIPS) over (..., H, W, 3) images in [0, 1].
+
+    LPIPS (utils/lpips.py, JAX AlexNet reimplementation) is included only
+    when calibrated weights are supplied — pass `lpips_params` or set
+    $WM_LPIPS_WEIGHTS to a converted .npz (lpips.convert_torch_state); the
+    published metric is meaningless with uncalibrated weights so it is
+    omitted rather than faked when the gate is closed."""
     from ..training import losses
+    from . import lpips as lpips_lib
 
     pred_j = jnp.asarray(pred, jnp.float32)
     tgt_j = jnp.asarray(target, jnp.float32)
     if pred_j.ndim == 3:
         pred_j, tgt_j = pred_j[None], tgt_j[None]
-    return {
+    out = {
         "psnr": float(losses.psnr(pred_j, tgt_j)),
         "ssim": float(losses.ssim(pred_j, tgt_j).mean()),
     }
+    lp = lpips_params if lpips_params is not None else lpips_lib.load_params()
+    if lp is not None:
+        out["lpips"] = float(jnp.mean(lpips_lib.distance(lp, pred_j, tgt_j)))
+    return out

@@ -96,18 +96,21 @@ def main():
         pred = _load_image_dir(args.pred)[::args.keyframe]
         gt = _load_image_dir(args.gt)[::args.keyframe]
         n = min(len(pred), len(gt))
+        # nvs_metrics includes LPIPS (utils/lpips.py JAX net) when
+        # $WM_LPIPS_WEIGHTS points at converted calibrated weights
         out = metrics.nvs_metrics(pred[:n], gt[:n])
         out["n_frames"] = n
-        try:  # LPIPS only when a pretrained net is importable (env-gated)
-            import lpips  # noqa: F401
-            import torch
-            net = lpips.LPIPS(net="alex")
-            a = torch.from_numpy(pred[:n].transpose(0, 3, 1, 2)) * 2 - 1
-            b = torch.from_numpy(gt[:n].transpose(0, 3, 1, 2)) * 2 - 1
-            with torch.no_grad():
-                out["lpips"] = float(net(a, b).mean())
-        except Exception:
-            pass
+        if "lpips" not in out:
+            try:  # fall back to the torch lpips package if importable
+                import lpips  # noqa: F401
+                import torch
+                net = lpips.LPIPS(net="alex")
+                a = torch.from_numpy(pred[:n].transpose(0, 3, 1, 2)) * 2 - 1
+                b = torch.from_numpy(gt[:n].transpose(0, 3, 1, 2)) * 2 - 1
+                with torch.no_grad():
+                    out["lpips"] = float(net(a, b).mean())
+            except Exception:
+                pass
 
     print(json.dumps(out))
 
