@@ -387,12 +387,18 @@ def compact_splats(cfg: GSRendererConfig, splats: Dict) -> Dict:
 
 def render(params, cfg: GSRendererConfig, gs_feats: jnp.ndarray,
            images: jnp.ndarray, predictions: Dict,
-           do_render: bool = True, views: Optional[Dict] = None) -> Dict:
+           do_render: bool = True, views: Optional[Dict] = None,
+           dist_mesh=None) -> Dict:
     """Full GS pipeline: head conv -> splats -> (filter/prune) -> rasterize.
 
     Args:
       gs_feats: (B, S, H, W, feature_dim/2) fused DPT features.
       images: (B, S, H, W, 3).
+      dist_mesh: optional Mesh with a >1 "view" axis — rendering then runs
+        the gaussian-sharded distributed protocol (ops/distributed.py:
+        camera all_gather + projected-splat all_to_all + local tiles),
+        with splats/cameras sharded over that axis. Requires S and N
+        divisible by the axis size; falls back to the local path otherwise.
     Fills predictions with 'splats' (+ rendered_colors/depths/alphas when
     `do_render`).
     """
@@ -419,16 +425,34 @@ def render(params, cfg: GSRendererConfig, gs_feats: jnp.ndarray,
         w2c = cam_utils.to_homogeneous(ext).reshape(B, S, 4, 4)
         Ks = intr.reshape(B, S, 3, 3)
 
+        n_splats = splats["means"].shape[1]
+        v_size = (dist_mesh.shape.get("view", 1)
+                  if dist_mesh is not None else 1)
+        use_dist = (v_size > 1 and S % v_size == 0 and n_splats % v_size == 0)
+
         outs, alphas = [], []
         for b in range(B):  # B is small and static
-            colors, alpha, _ = rasterizer.rasterize(
-                splats["means"][b], splats["quats"][b], splats["scales"][b],
-                splats["opacities"][b], splats["sh"][b],
-                lax.stop_gradient(w2c[b]), lax.stop_gradient(Ks[b]),
-                W, H, render_mode="RGB+ED",
-                max_per_tile=cfg.max_per_tile,
-                max_tiles_per_gauss=cfg.max_tiles_per_gauss,
-                impl=cfg.rasterizer_impl, quat_order="wxyz")
+            if use_dist:
+                from ..ops.distributed import rasterize_distributed
+                colors, alpha = rasterize_distributed(
+                    splats["means"][b],
+                    splats["quats"][b][..., jnp.array([1, 2, 3, 0])],  # ->xyzw
+                    splats["scales"][b], splats["opacities"][b],
+                    splats["sh"][b],
+                    lax.stop_gradient(w2c[b]), lax.stop_gradient(Ks[b]),
+                    W, H, mesh=dist_mesh, axis="view",
+                    render_mode="RGB+ED", max_per_tile=cfg.max_per_tile,
+                    max_tiles_per_gauss=cfg.max_tiles_per_gauss,
+                    impl=cfg.rasterizer_impl, sh_degree=cfg.sh_degree)
+            else:
+                colors, alpha, _ = rasterizer.rasterize(
+                    splats["means"][b], splats["quats"][b], splats["scales"][b],
+                    splats["opacities"][b], splats["sh"][b],
+                    lax.stop_gradient(w2c[b]), lax.stop_gradient(Ks[b]),
+                    W, H, render_mode="RGB+ED",
+                    max_per_tile=cfg.max_per_tile,
+                    max_tiles_per_gauss=cfg.max_tiles_per_gauss,
+                    impl=cfg.rasterizer_impl, quat_order="wxyz")
             outs.append(colors)
             alphas.append(alpha)
         rendered = jnp.stack(outs)   # (B, S, H, W, 4)

@@ -215,6 +215,6 @@ def forward(params, cfg: WorldMirrorConfig, views: Dict[str, jnp.ndarray],
         preds = gaussians.render(
             params["gs_renderer"], cfg.gs_renderer,
             gs_feats=gs_feat, images=imgs, predictions=preds,
-            do_render=render, views=views)
+            do_render=render, views=views, dist_mesh=ring_mesh)
 
     return preds

@@ -53,6 +53,10 @@ class SplatOptConfig:
     min_opacity: float = 0.005
     # visibility-masked Adam (gsplat SelectiveAdam / AdamCUDA.cu)
     use_selective_adam: bool = False
+    # "3dgs" (EWA splats, reference default) or "2dgs" (surfels, reference
+    # RasterizeToPixels2DGS*.cu via ops/gs2d.py — renders RGB+ED+normals,
+    # only the RGB channels drive the photometric loss)
+    mode: str = "3dgs"
     # densification signal (gsplat strategy/default.py:12 semantics):
     #   "absgrad" — per-splat screen-space SUM of |dL/d means2d| from the
     #               Pallas backward's AbsGS tap (gsplat absgrad=True), scaled
@@ -67,6 +71,7 @@ class SplatOptConfig:
         if self.densify_signal != "auto":
             return self.densify_signal
         return ("absgrad" if (self.rasterizer_impl == "pallas"
+                              and self.mode == "3dgs"
                               and jax.default_backend() == "tpu")
                 else "mean3d")
 
@@ -123,6 +128,14 @@ def render_splats(raw: Dict, viewmats: jnp.ndarray, Ks: jnp.ndarray,
                   width: int, height: int, cfg: SplatOptConfig,
                   abs_tap: Optional[jnp.ndarray] = None):
     means, quats, scales, opac, sh = _activate(raw)
+    if cfg.mode == "2dgs":
+        from ..ops.gs2d import rasterize_2dgs
+        colors, alphas, normals = rasterize_2dgs(
+            means, quats, scales, opac, sh, viewmats, Ks, width, height,
+            tile_size=cfg.tile_size, render_mode="RGB+ED",
+            max_per_tile=cfg.max_per_tile, quat_order="wxyz",
+            sh_degree=int(sh.shape[-2] ** 0.5) - 1)
+        return colors, alphas, {"normals": normals}
     colors, alphas, meta = rasterizer.rasterize(
         means, quats, scales, opac, sh, viewmats, Ks, width, height,
         tile_size=cfg.tile_size, render_mode="RGB+ED",

@@ -147,3 +147,113 @@ def test_rasterize_2dgs_depth_and_normals(rng):
     # s_z scale) — normalize to check direction only
     n = nrm[0, cy, cx] / (np.linalg.norm(nrm[0, cy, cx]) + 1e-12)
     assert n[2] < -0.9  # faces the camera (camera looks +z)
+
+
+def test_rasterize_2dgs_zero_distortion_matches_pinhole(rng):
+    means, quats, scales, opac, colors, vm, K = _scene(rng)
+    base = gs2d.rasterize_2dgs(
+        jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
+        jnp.asarray(opac), jnp.asarray(colors), jnp.asarray(vm),
+        jnp.asarray(K), 64, 64)
+    zero = gs2d.rasterize_2dgs(
+        jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
+        jnp.asarray(opac), jnp.asarray(colors), jnp.asarray(vm),
+        jnp.asarray(K), 64, 64,
+        radial_coeffs=jnp.zeros((2, 4), jnp.float32))
+    for a, b in zip(base, zero):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_rasterize_2dgs_distorted_warp_consistency(rng):
+    """Mild radial distortion: the distorted render at pixel p should match
+    the pinhole render sampled at p's undistorted coordinate (plane
+    intersection is exact; the 2px screen-space floor differs, so use big
+    surfels where the object-space term dominates and compare loosely)."""
+    means, quats, scales, opac, colors, vm, K = _scene(rng, N=40, C=1)
+    scales = scales * 6.0  # big surfels -> sigma3d < sigma2d nearly everywhere
+    radial = np.array([[-0.08, 0.01, 0.0, 0.0]], np.float32)
+
+    args = (jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
+            jnp.asarray(opac), jnp.asarray(colors), jnp.asarray(vm),
+            jnp.asarray(K))
+    pin, _, _ = gs2d.rasterize_2dgs(*args, 64, 64, render_mode="RGB")
+    dis, _, _ = gs2d.rasterize_2dgs(*args, 64, 64, render_mode="RGB",
+                                    radial_coeffs=jnp.asarray(radial))
+
+    und = np.asarray(gs2d._undistort_pixel_map(
+        jnp.asarray(K[0]), 64, 64, "pinhole", jnp.asarray(radial[0]), None))
+    pin_np = np.asarray(pin[0])
+    dis_np = np.asarray(dis[0])
+    # sample the pinhole render at the undistorted coords (nearest neighbor),
+    # compare interior pixels where the source stays in frame
+    xs = np.clip(np.round(und[..., 0] - 0.5).astype(int), 0, 63)
+    ys = np.clip(np.round(und[..., 1] - 0.5).astype(int), 0, 63)
+    warped = pin_np[ys, xs]
+    interior = ((und[..., 0] > 2) & (und[..., 0] < 62)
+                & (und[..., 1] > 2) & (und[..., 1] < 62))
+    diff = np.abs(warped - dis_np)[interior]
+    # nearest-neighbor resample + low-pass floor delta: most pixels agree
+    assert np.median(diff) < 0.02
+    assert (diff > 0.15).mean() < 0.08
+
+
+def test_rasterize_to_indices_2dgs(rng):
+    """Top-k per-pixel surfel enumeration: weights must reproduce the render
+    when k covers every contributor (reference RasterizeToIndices2DGS.cu)."""
+    means, quats, scales, opac, colors, vm, K = _scene(rng, N=24, C=1)
+    args = (jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
+            jnp.asarray(opac))
+    img, alpha, _ = gs2d.rasterize_2dgs(
+        *args, jnp.asarray(colors), jnp.asarray(vm), jnp.asarray(K),
+        48, 48, render_mode="RGB")
+    ids, w = gs2d.rasterize_to_indices_2dgs(
+        *args, jnp.asarray(vm), jnp.asarray(K), 48, 48, k=24)
+    ids, w = np.asarray(ids), np.asarray(w)
+    assert ids.shape == (1, 48, 48, 24) and w.shape == ids.shape
+    # padded entries are -1 with zero weight; valid ids in range
+    assert np.all((ids >= -1) & (ids < 24))
+    assert np.all(w[ids == -1] == 0)
+    # recomposite from the enumerated weights
+    recon = np.einsum("chwk,chwkd->chwd", w,
+                      np.asarray(colors)[np.maximum(ids, 0)])
+    np.testing.assert_allclose(recon, np.asarray(img), atol=1e-4)
+    np.testing.assert_allclose(w.sum(-1), np.asarray(alpha)[..., 0], atol=1e-4)
+
+
+def test_splat_opt_2dgs_mode(rng):
+    """--gs2d trainer mode: a few surfel-optimization steps reduce the loss."""
+    from hunyuanworld_mirror_tpu.training import splat_opt
+
+    n = 80
+    splats = {
+        "means": (rng.normal(0, 0.4, (n, 3)).astype(np.float32)
+                  + np.array([0, 0, 2.5], np.float32)),
+        "quats": np.tile(np.array([1, 0, 0, 0], np.float32), (n, 1)),
+        "scales": np.full((n, 3), 0.08, np.float32),
+        "opacities": np.full((n,), 0.7, np.float32),
+        "sh": rng.normal(0, 0.3, (n, 1, 3)).astype(np.float32),
+    }
+    images = rng.uniform(0, 1, (1, 32, 32, 3)).astype(np.float32)
+    c2w = np.eye(4, dtype=np.float32)[None]
+    Ks = np.array([[[40, 0, 16], [0, 40, 16], [0, 0, 1]]], np.float32)
+
+    cfg = splat_opt.SplatOptConfig(iters=30, refine_every=1000, mode="2dgs")
+    assert cfg.resolved_signal() == "mean3d"
+    losses = []
+    splat_opt.optimize_splats(
+        splats, images, c2w, Ks, cfg,
+        log_fn=lambda m: losses.append(m))
+    # direct check: loss at iter end < loss at start
+    tx = splat_opt.make_optimizer(cfg)
+    raw = splat_opt._raw_from_splats(
+        {k: jnp.asarray(v) for k, v in splats.items()}, n)
+    step = splat_opt.make_train_step(cfg, tx, 32, 32)
+    st = tx.init(raw)
+    vms = jnp.asarray(np.linalg.inv(c2w))
+    l0 = l_last = None
+    for i in range(25):
+        raw, st, loss, _ = step(raw, st, vms, jnp.asarray(Ks),
+                                jnp.asarray(images))
+        l0 = float(loss) if l0 is None else l0
+        l_last = float(loss)
+    assert l_last < l0

@@ -35,6 +35,9 @@ def main():
                         "(teleport + growth + position noise)")
     p.add_argument("--selective-adam", action="store_true",
                    help="visibility-masked Adam (gsplat SelectiveAdam)")
+    p.add_argument("--gs2d", action="store_true",
+                   help="optimize as 2D Gaussian surfels (ops/gs2d.py) "
+                        "instead of 3DGS")
     args = p.parse_args()
 
     from hunyuanworld_mirror_tpu.io import images as io_images
@@ -65,7 +68,8 @@ def main():
                                    rasterizer_impl=args.rasterizer,
                                    max_per_tile=args.max_per_tile,
                                    strategy=args.strategy,
-                                   use_selective_adam=args.selective_adam)
+                                   use_selective_adam=args.selective_adam,
+                                   mode="2dgs" if args.gs2d else "3dgs")
     out = splat_opt.optimize_splats(splats, imgs, c2w, Ks, cfg)
     print(f"optimized: {len(out['means'])} splats alive")
 
