@@ -143,6 +143,10 @@ def run_inference(image_paths, opts):
                                out_dir / "gaussians.splat")
         artifacts["ply"] = "gaussians.ply"
         artifacts["splat"] = "gaussians.splat"
+        # cameras.json feeds the in-browser viewer's frusta overlay
+        with open(out_dir / "cameras.json", "w") as f:
+            json.dump([{"c2w": c2w[s].tolist(), "K": K[s].tolist(),
+                        "width": W, "height": H} for s in range(S)], f)
         if opts.get("video") == "on":
             render_lib.render_interpolated_video(
                 preds, W, H, str(out_dir / "rendered.mp4"),
@@ -151,7 +155,8 @@ def run_inference(image_paths, opts):
             artifacts["video"] = "rendered.mp4"
 
     return run_id, {"gallery": gallery, "artifacts": artifacts,
-                    "views": S, "elapsed": elapsed}
+                    "views": S, "elapsed": elapsed,
+                    "viewer": "splats" in preds}
 
 
 def list_examples():
@@ -195,9 +200,17 @@ def render_result(run_id, info):
     if "video" in info["artifacts"]:
         vid = (f'<video controls width="480" '
                f'src="/out/{run_id}/{info["artifacts"]["video"]}"></video>')
+    viewer = ""
+    if info.get("viewer"):
+        # interactive WebGL splat viewer (io/viewer.html, self-contained)
+        viewer = (f'<p><a href="/viewer?run={run_id}" target="_blank">'
+                  f'open 3D viewer</a></p>'
+                  f'<iframe src="/viewer?run={run_id}" width="100%" '
+                  f'height="480" style="border:1px solid #888"></iframe>')
     return (f"<h2>Result ({info['views']} views, "
             f"{info['elapsed']:.1f}s forward)</h2>"
-            f"<p>Downloads: {links}</p><div class='row'>{items}</div>{vid}")
+            f"<p>Downloads: {links}</p>{viewer}"
+            f"<div class='row'>{items}</div>{vid}")
 
 
 class Handler(BaseHTTPRequestHandler):
@@ -229,6 +242,10 @@ class Handler(BaseHTTPRequestHandler):
                           ".splat": "application/octet-stream"}
             self._send(p.read_bytes(),
                        ctypes_map.get(p.suffix, "application/octet-stream"))
+        elif self.path.startswith("/viewer"):
+            vp = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "hunyuanworld_mirror_tpu", "io", "viewer.html")
+            self._send(Path(vp).read_text())
         elif self.path == "/health":
             self._send(json.dumps({"ok": True, "model": STATE["args"].preset}),
                        "application/json")

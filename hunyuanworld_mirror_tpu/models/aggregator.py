@@ -62,10 +62,11 @@ class VGTConfig:
 
     @property
     def vit_config(self) -> dinov2.DinoViTConfig:
+        import dataclasses
         base = dinov2.VIT_FACTORIES[self.patch_embed]
-        return dinov2.DinoViTConfig(
-            img_size=self.img_size, patch_size=self.patch_size,
-            embed_dim=base.embed_dim, depth=base.depth, num_heads=base.num_heads,
+        # keep the factory's architecture knobs (ffn_layer, rope flags, ...)
+        return dataclasses.replace(
+            base, img_size=self.img_size, patch_size=self.patch_size,
             num_register_tokens=self.num_register_tokens)
 
 

@@ -35,6 +35,15 @@ class DinoViTConfig:
     init_values: float = 1.0
     norm_eps: float = 1e-6
     ffn_layer: str = "mlp"
+    # DINOv3-style variants: axial RoPE inside attention instead of (or in
+    # addition to) the learned pos embed (reference fork
+    # models/models/visual_transformer.py:20-74 wraps a frozen DINOv3
+    # vit_small/base at patch 16; the dinov3 submodule is EMPTY in the
+    # snapshot, so this is a public-spec reimplementation of the contract:
+    # frozen backbone -> x_norm_patchtokens)
+    use_rope: bool = False
+    rope_freq: float = 100.0
+    use_pos_embed: bool = True
 
 
 VIT_SMALL = DinoViTConfig(embed_dim=384, depth=12, num_heads=6)
@@ -44,11 +53,23 @@ VIT_LARGE = DinoViTConfig(embed_dim=1024, depth=24, num_heads=16)
 VIT_GIANT2 = DinoViTConfig(embed_dim=1536, depth=40, num_heads=24,
                            ffn_layer="swiglufused")
 
+# DINOv3-style ViTs: patch 16, RoPE, 4 storage (register) tokens, no learned
+# pos embed — the wrapper contract the fork's CenterSnap backbone names
+# (dinov3_vits16 / dinov3_vitb16, reference visual_transformer.py:301-304)
+VIT_DINOV3_SMALL = DinoViTConfig(img_size=592, patch_size=16, embed_dim=384,
+                                 depth=12, num_heads=6, use_rope=True,
+                                 use_pos_embed=False)
+VIT_DINOV3_BASE = DinoViTConfig(img_size=592, patch_size=16, embed_dim=768,
+                                depth=12, num_heads=12, use_rope=True,
+                                use_pos_embed=False)
+
 VIT_FACTORIES = {
     "dinov2_vits14_reg": VIT_SMALL,
     "dinov2_vitb14_reg": VIT_BASE,
     "dinov2_vitl14_reg": VIT_LARGE,
     "dinov2_vitg2_reg": VIT_GIANT2,
+    "dinov3_vits16": VIT_DINOV3_SMALL,
+    "dinov3_vitb16": VIT_DINOV3_BASE,
 }
 
 
@@ -106,14 +127,24 @@ def forward_features(params, cfg: DinoViTConfig, images: jnp.ndarray,
 
     cls = jnp.broadcast_to(params["cls_token"].astype(dtype), (B, 1, cfg.embed_dim))
     x = jnp.concatenate([cls, x], axis=1)
-    x = x + interpolate_pos_embed(params["pos_embed"], cfg, H, W).astype(dtype)
+    if cfg.use_pos_embed:
+        x = x + interpolate_pos_embed(params["pos_embed"], cfg, H, W).astype(dtype)
 
     regs = jnp.broadcast_to(params["register_tokens"].astype(dtype),
                             (B, cfg.num_register_tokens, cfg.embed_dim))
     x = jnp.concatenate([x[:, :1], regs, x[:, 1:]], axis=1)
 
+    rope = None
+    if cfg.use_rope:
+        from .rope import grid_positions, make_rope_tables
+        pos = grid_positions(H // cfg.patch_size, W // cfg.patch_size,
+                             1 + cfg.num_register_tokens)
+        rope = make_rope_tables(pos, cfg.embed_dim // cfg.num_heads,
+                                cfg.rope_freq)
+
     def body(carry, layer_params):
-        return block(layer_params, carry, cfg.num_heads, norm_eps=cfg.norm_eps), None
+        return block(layer_params, carry, cfg.num_heads, rope=rope,
+                     norm_eps=cfg.norm_eps), None
 
     x, _ = lax.scan(body, x, params["blocks"])
     x = nn.layer_norm(params["norm"], x, eps=cfg.norm_eps)

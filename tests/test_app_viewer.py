@@ -1,0 +1,70 @@
+"""app.py HTTP surface: viewer route + artifact serving (model-free).
+
+The in-browser WebGL viewer itself (io/viewer.html) cannot execute here (no
+browser/JS runtime in the image); these tests pin the server-side contract it
+depends on — the /viewer route, /out file serving, and that the artifact
+names the viewer fetches are exactly what run_inference writes."""
+
+import json
+import sys
+import threading
+import urllib.request
+from http.server import HTTPServer
+from pathlib import Path
+
+sys.path.insert(0, "/root/repo")
+
+
+def _start_server(tmp_path):
+    import app
+
+    class Args:
+        workdir = str(tmp_path)
+        preset = "test"
+        examples = str(tmp_path / "none")
+
+    app.STATE["args"] = Args()
+    srv = HTTPServer(("127.0.0.1", 0), app.Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return srv, srv.server_address[1]
+
+
+def test_viewer_route_and_out_serving(tmp_path):
+    run = tmp_path / "run_x"
+    run.mkdir()
+    (run / "gaussians.splat").write_bytes(b"\x00" * 64)
+    (run / "cameras.json").write_text(json.dumps([{
+        "c2w": [[1, 0, 0, 0]] * 4, "K": [[60, 0, 32]] * 3,
+        "width": 64, "height": 64}]))
+
+    srv, port = _start_server(tmp_path)
+    try:
+        page = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/viewer?run=run_x").read().decode()
+        assert "<canvas" in page and "gaussians.splat" in page
+        assert "webgl2" in page
+        # artifacts the viewer fetches must be servable
+        for name in ("gaussians.splat", "cameras.json"):
+            data = urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/out/run_x/{name}").read()
+            assert data
+        # path traversal stays blocked
+        try:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/out/../viewer.html")
+            bad = True
+        except urllib.error.HTTPError as e:
+            bad = e.code != 404
+        assert not bad
+    finally:
+        srv.shutdown()
+
+
+def test_viewer_asset_matches_splat_layout():
+    """The viewer decodes 32-byte records (pos f32x3 | scale f32x3 | rgba u8
+    | rot u8 wxyz) — the exact layout io/ply.gs_ply_to_splat writes."""
+    html = Path("/root/repo/hunyuanworld_mirror_tpu/io/viewer.html").read_text()
+    assert "buf.length >> 5" in html          # 32 bytes per record
+    assert "cameras.json" in html
+    assert html.count("<script>") == html.count("</script>") == 1

@@ -105,6 +105,30 @@ def convert_dinov2(sd: Dict[str, np.ndarray], prefix="") -> Dict:
     }
 
 
+def convert_dinov3(sd: Dict[str, np.ndarray], prefix="") -> Dict:
+    """DINOv3-style ViT (fork backbone contract,
+    reference models/models/visual_transformer.py:20-74; the dinov3 submodule
+    is empty in the snapshot, so the name map follows the public DINOv3
+    release: `storage_tokens` for registers, RoPE instead of a learned
+    pos_embed). Missing keys fall back to zeros of the right shape where the
+    runtime ignores them (pos_embed when use_rope)."""
+    n = _n_layers(sd, re.escape(prefix) + r"blocks\.(\d+)\.norm1\.weight")
+    blocks = [_block(sd, f"{prefix}blocks.{i}") for i in range(n)]
+    regs = sd.get(f"{prefix}storage_tokens",
+                  sd.get(f"{prefix}register_tokens"))
+    dim = sd[f"{prefix}cls_token"].shape[-1]
+    out = {
+        "patch_embed": {"proj": _conv(sd, f"{prefix}patch_embed.proj")},
+        "cls_token": sd[f"{prefix}cls_token"],
+        "register_tokens": regs,
+        "blocks": _stack_blocks(blocks),
+        "norm": _ln(sd, f"{prefix}norm"),
+    }
+    out["pos_embed"] = sd.get(f"{prefix}pos_embed",
+                              np.zeros((1, 1, dim), np.float32))
+    return out
+
+
 def convert_silu_mlp(sd, prefix):
     """nn.Sequential(Linear, SiLU, Linear) -> {fc1, fc2}."""
     return {"fc1": _linear(sd, f"{prefix}.0"), "fc2": _linear(sd, f"{prefix}.2")}
