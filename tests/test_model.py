@@ -147,3 +147,29 @@ class TestGradients:
         leaves = jax.tree.leaves(g)
         assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
         assert any(float(jnp.abs(x).max()) > 0 for x in leaves)
+
+
+class TestHeadChunking:
+    def test_chunked_heads_match_unchunked(self, rng):
+        """head_chunk only changes peak memory, never values (worldmirror.py
+        _dpt_maybe_chunked; memory analogue of reference dense_head frame
+        chunking)."""
+        views = _views(rng, b=1, s=4)
+        cfg0 = tiny_config(head_chunk=None)
+        cfg2 = tiny_config(head_chunk=2)
+        params = worldmirror.init(jax.random.PRNGKey(0), cfg0)
+        p0 = worldmirror.forward(params, cfg0, views, render=False)
+        p2 = worldmirror.forward(params, cfg2, views, render=False)
+        flat0 = jax.tree_util.tree_flatten_with_path(p0)[0]
+        flat2 = jax.tree.leaves(p2)
+        for (path, a), b in zip(flat0, flat2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-5, atol=2e-5,
+                                       err_msg=jax.tree_util.keystr(path))
+
+    def test_indivisible_chunk_falls_back(self, rng):
+        views = _views(rng, b=1, s=3)
+        cfg = tiny_config(head_chunk=2)  # 3 % 2 != 0 -> unchunked path
+        params = worldmirror.init(jax.random.PRNGKey(0), cfg)
+        preds = worldmirror.forward(params, cfg, views, render=False)
+        assert preds["depth"].shape[:2] == (1, 3)
