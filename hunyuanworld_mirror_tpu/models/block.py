@@ -78,6 +78,18 @@ def attention(p, x: jnp.ndarray, num_heads: int,
 _FLASH_BLOCK = 512
 
 
+def _flash_block(n: int) -> int:
+    """Flash kernel block size. WM_FLASH_BLOCK overrides; default 512.
+
+    N pads to a block multiple, so smaller blocks waste fewer tokens on
+    short sequences (frame layers at N=1374: +12% at 512, +2.5% at 128) at
+    the cost of more grid steps; sweep with tools/attn_ab.py --sweep-block.
+    """
+    import os
+    blk = int(os.environ.get("WM_FLASH_BLOCK", str(_FLASH_BLOCK)))
+    return max(128, min(blk, -(-n // 128) * 128))
+
+
 def _use_flash(dtype, n: int, head_dim: int) -> bool:
     """Route the softmax core to the Pallas TPU flash kernel when it applies.
 
@@ -101,7 +113,7 @@ def _use_flash(dtype, n: int, head_dim: int) -> bool:
     # kernel overheads lose to the plain einsum; the global cross-view
     # stack (N=S*1374 >= 4122 at S>=3) wins.
     min_n = int(os.environ.get("WM_FLASH_MIN_N", "4096"))
-    return head_dim % 64 == 0 and n >= max(_FLASH_BLOCK, min_n)
+    return head_dim % 64 == 0 and n >= max(_flash_block(n), min_n)
 
 
 def _flash_core(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
@@ -116,7 +128,8 @@ def _flash_core(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     from jax.experimental.pallas.ops.tpu.flash_attention import (
         flash_attention, BlockSizes, SegmentIds)
     B, N, H, D = q.shape
-    npad = -(-N // _FLASH_BLOCK) * _FLASH_BLOCK
+    blk = _flash_block(N)
+    npad = -(-N // blk) * blk
     pad = npad - N
     qt = jnp.transpose(q, (0, 2, 1, 3))
     kt = jnp.transpose(k, (0, 2, 1, 3))
@@ -126,7 +139,6 @@ def _flash_core(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         qt, kt, vt = jnp.pad(qt, cfg), jnp.pad(kt, cfg), jnp.pad(vt, cfg)
     seg = jnp.where(jnp.arange(npad) < N, 1, 2).astype(jnp.int32)
     seg = jnp.broadcast_to(seg[None], (B, npad))
-    blk = _FLASH_BLOCK
     bs = BlockSizes(block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
                     block_q_major_dkv=blk, block_k_major_dkv=blk,
                     block_k_dkv=blk, block_q_dkv=blk,

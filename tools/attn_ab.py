@@ -12,6 +12,8 @@ import os
 import sys
 import time
 
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import jax
 import jax.numpy as jnp
 
@@ -30,8 +32,10 @@ def timeit(fn, *args, iters=5, warmup=2):
     return (time.perf_counter() - t0) / iters
 
 
-def bench_full(impl: str, views: int, img: int, iters: int):
+def bench_full(impl: str, views: int, img: int, iters: int, env=None):
     os.environ["WM_ATTN_IMPL"] = impl
+    for k, v in (env or {}).items():
+        os.environ[k] = str(v)
     from hunyuanworld_mirror_tpu.models import worldmirror
     cfg = worldmirror.WorldMirrorConfig(img_size=img, rasterizer_impl="pallas")
     params = worldmirror.init(jax.random.PRNGKey(0), cfg)
@@ -81,8 +85,23 @@ def main():
     ap.add_argument("--img", type=int, default=518)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--impls", default="einsum,flash")
-    ap.add_argument("--mode", default="both", choices=["both", "full", "stack"])
+    ap.add_argument("--mode", default="both",
+                    choices=["both", "full", "stack", "sweep"])
     args = ap.parse_args()
+
+    if args.mode == "sweep":
+        # Sweep flash gating (min_n: 4096 = global layers only, 512 = frame
+        # layers too) x kernel block size (pad waste at N=1374: 512->+12%,
+        # 256->+4.5%, 128->+2.5%).
+        combos = [("einsum", {})] + [
+            ("flash", {"WM_FLASH_MIN_N": mn, "WM_FLASH_BLOCK": bk})
+            for mn in (4096, 512) for bk in (512, 256, 128)]
+        for impl, env in combos:
+            fps, dt = bench_full(impl, args.views, args.img, args.iters,
+                                 env=env)
+            print(f"[sweep] impl={impl:6s} env={env} {1e3*dt:8.1f} ms  "
+                  f"{fps:6.3f} f/s", flush=True)
+        return
 
     for impl in args.impls.split(","):
         if args.mode in ("both", "stack"):
