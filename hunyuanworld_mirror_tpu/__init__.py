@@ -17,3 +17,22 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+# Persistent XLA compile cache: TPU process startup through the axon relay
+# costs ~12-15 min and every jit otherwise recompiles from scratch. Set via
+# jax.config so it also binds when jax was imported first. Opt out with
+# JAX_COMPILATION_CACHE_DIR="" (empty disables).
+import os as _os
+
+if _os.environ.get("JAX_COMPILATION_CACHE_DIR") != "":
+    try:
+        import jax as _jax
+
+        _jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"))
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # never let cache plumbing break imports
+        pass
+    del _jax
+del _os

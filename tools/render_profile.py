@@ -116,17 +116,6 @@ def main():
     d = jax.jit(stage_d)
     t_d = timeit(d, comp, w2c, Ks, iters=args.iters)
 
-    # stage D-jax for comparison
-    def stage_dj(s, vm, K):
-        colors, alpha, _ = rasterizer.rasterize(
-            s["means"][0], s["quats"][0], s["scales"][0], s["opacities"][0],
-            s["sh"][0], lax.stop_gradient(vm), lax.stop_gradient(K),
-            W, H, render_mode="RGB+ED", max_per_tile=gcfg.max_per_tile,
-            max_tiles_per_gauss=gcfg.max_tiles_per_gauss, impl="jax",
-            quat_order="wxyz")
-        return colors
-    t_dj = timeit(jax.jit(stage_dj), comp, w2c, Ks, iters=args.iters)
-
     # stage D1: projection only (all cameras via lax.map like rasterize)
     quats_x = comp["quats"][0][..., jnp.array([1, 2, 3, 0])]
 
@@ -164,14 +153,47 @@ def main():
     bin_all = jax.jit(lambda: [stage_bin(i) for i in range(S)])
     t_bin = timeit(bin_all, iters=args.iters)
 
-    print(f"A head+prepare : {1e3*t_a:8.1f} ms")
-    print(f"B voxel_prune  : {1e3*t_b:8.1f} ms")
-    print(f"C compact      : {1e3*t_c:8.1f} ms")
-    print(f"D rasterize(pl): {1e3*t_d:8.1f} ms   ({S} cams)")
-    print(f"D rasterize(jx): {1e3*t_dj:8.1f} ms   ({S} cams)")
-    print(f"  D1 projection: {1e3*t_p:8.1f} ms")
-    print(f"  D2 binning   : {1e3*t_bin:8.1f} ms")
-    print(f"sum A+B+C+D    : {1e3*(t_a+t_b+t_c+t_d):8.1f} ms")
+    print(f"A head+prepare : {1e3*t_a:8.1f} ms", flush=True)
+    print(f"B voxel_prune  : {1e3*t_b:8.1f} ms", flush=True)
+    print(f"C compact      : {1e3*t_c:8.1f} ms", flush=True)
+    print(f"D rasterize(pl): {1e3*t_d:8.1f} ms   ({S} cams)", flush=True)
+    print(f"  D1 projection: {1e3*t_p:8.1f} ms", flush=True)
+    print(f"  D2 binning   : {1e3*t_bin:8.1f} ms", flush=True)
+    print(f"sum A+B+C+D    : {1e3*(t_a+t_b+t_c+t_d):8.1f} ms", flush=True)
+
+    # heads compute-dtype A/B: reference runs its DPT heads fp32
+    # (worldmirror.py:146 autocast off); measure what bf16 conv compute
+    # would buy and what it costs in output delta.
+    import dataclasses
+    import numpy as np
+
+    def heads_t(dtype):
+        cfgs = {k: dataclasses.replace(getattr(cfg, k), compute_dtype=dtype)
+                for k in ("depth_head", "pts_head", "norm_head", "gs_head")}
+
+        def fn(p, toks, im):
+            o = {}
+            o["depth"], _ = dpt.forward(p["depth_head"], cfgs["depth_head"],
+                                        toks, im, start)
+            o["pts3d"], _ = dpt.forward(p["pts_head"], cfgs["pts_head"],
+                                        toks, im, start)
+            o["normals"], _ = dpt.forward(p["norm_head"], cfgs["norm_head"],
+                                          toks, im, start)
+            _, o["gs_depth"], _ = dpt.forward(p["gs_head"], cfgs["gs_head"],
+                                              toks, im, start)
+            return o
+        j = jax.jit(fn)
+        t = timeit(j, params, token_list, imgs, iters=args.iters)
+        return t, jax.tree.map(np.asarray, j(params, token_list, imgs))
+
+    t32, o32 = heads_t("float32")
+    t16, o16 = heads_t("bfloat16")
+    print(f"heads fp32     : {1e3*t32:8.1f} ms", flush=True)
+    print(f"heads bf16     : {1e3*t16:8.1f} ms", flush=True)
+    for k in o32:
+        d32, d16 = o32[k], o16[k]
+        rel = np.max(np.abs(d16 - d32) / (np.abs(d32) + 1e-3))
+        print(f"  {k:10s} max rel delta {rel:.2e}", flush=True)
 
 
 if __name__ == "__main__":
