@@ -90,12 +90,16 @@ def main():
     args = ap.parse_args()
 
     if args.mode == "sweep":
-        # Sweep flash gating (min_n: 4096 = global layers only, 512 = frame
-        # layers too) x kernel block size (pad waste at N=1374: 512->+12%,
-        # 256->+4.5%, 128->+2.5%).
-        combos = [("einsum", {})] + [
-            ("flash", {"WM_FLASH_MIN_N": mn, "WM_FLASH_BLOCK": bk})
-            for mn in (4096, 512) for bk in (512, 256, 128)]
+        # Measured r2 sweep 1 (S=4/518px, v5e): einsum 544.0 ms; global-only
+        # flash blk512 527.4 (default); blk256 586.9; blk128 795.1; frame-
+        # layer flash loses at every small block (512: 552.9, 256: 649.9,
+        # 128: 1022.1). Sweep 2: blk=1408 = FULL-SEQ block for frame layers
+        # (N=1374 pads +2.5% to one 1408 block, scores stay in VMEM, no
+        # 241 MB/layer logits HBM round-trip) and 4-step kv for global.
+        combos = [
+            ("flash", {"WM_FLASH_MIN_N": 512, "WM_FLASH_BLOCK": 1408}),
+            ("flash", {"WM_FLASH_MIN_N": 4096, "WM_FLASH_BLOCK": 1408}),
+        ]
         for impl, env in combos:
             fps, dt = bench_full(impl, args.views, args.img, args.iters,
                                  env=env)
