@@ -22,17 +22,40 @@ __version__ = "0.1.0"
 # costs ~12-15 min and every jit otherwise recompiles from scratch. Set via
 # jax.config so it also binds when jax was imported first. Opt out with
 # JAX_COMPILATION_CACHE_DIR="" (empty disables).
+#
+# The cache dir is keyed by a host fingerprint (machine + CPU feature set):
+# XLA:CPU persists AOT-compiled code specialized to the build host's CPU
+# features, and loading it on a different machine warns "could lead to
+# execution errors such as SIGILL" (observed in MULTICHIP_r02). A per-host
+# dir makes stale cross-machine AOT results unreachable.
 import os as _os
+
+
+def _cache_dir() -> str:
+    explicit = _os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    if explicit:
+        return explicit
+    import hashlib
+    import platform
+    fp = platform.machine() + ";" + platform.processor()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    fp += ";" + line
+                    break
+    except OSError:
+        pass
+    return "/tmp/jax_cache_" + hashlib.sha1(fp.encode()).hexdigest()[:10]
+
 
 if _os.environ.get("JAX_COMPILATION_CACHE_DIR") != "":
     try:
         import jax as _jax
 
-        _jax.config.update(
-            "jax_compilation_cache_dir",
-            _os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"))
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir())
         _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        del _jax
     except Exception:  # never let cache plumbing break imports
         pass
-    del _jax
 del _os

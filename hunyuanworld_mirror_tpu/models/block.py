@@ -87,7 +87,8 @@ def _flash_block(n: int) -> int:
     """
     import os
     blk = int(os.environ.get("WM_FLASH_BLOCK", str(_FLASH_BLOCK)))
-    return max(128, min(blk, -(-n // 128) * 128))
+    blk = max(128, (blk // 128) * 128)  # Pallas BlockSizes need /128 tiles
+    return min(blk, -(-n // 128) * 128)
 
 
 def _use_flash(dtype, n: int, head_dim: int) -> bool:
@@ -113,7 +114,10 @@ def _use_flash(dtype, n: int, head_dim: int) -> bool:
     # kernel overheads lose to the plain einsum; the global cross-view
     # stack (N=S*1374 >= 4122 at S>=3) wins.
     min_n = int(os.environ.get("WM_FLASH_MIN_N", "4096"))
-    return head_dim % 64 == 0 and n >= max(_flash_block(n), min_n)
+    # Gate only on min_n: _flash_core pads N up to a block multiple, so
+    # n < block is handled — gating on max(block, min_n) silently disabled
+    # flash whenever WM_FLASH_BLOCK exceeded N (advisor finding r2).
+    return head_dim % 64 == 0 and n >= min_n
 
 
 def _flash_core(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,

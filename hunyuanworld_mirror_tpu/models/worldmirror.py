@@ -61,6 +61,11 @@ class WorldMirrorConfig:
     # its DPT the same way for memory (src/models/heads/dense_head.py frame
     # chunking); None = no chunking (peak throughput at small S).
     head_chunk: Optional[int] = None
+    # DPT decoder width overrides (None = reference defaults: features 256,
+    # out_channels (256,512,1024,1024)). Small-scale parity/golden fixtures
+    # shrink these on BOTH sides to keep fixtures commit-sized.
+    dpt_features: Optional[int] = None
+    dpt_out_channels: Optional[tuple] = None
     # accepted-and-ignored: the reference's worldmirror.py:58-59 passes these
     # to a VGT constructor that doesn't declare them (SURVEY.md §2.1 quirk);
     # kept so checkpoints/configs serialized with them still load
@@ -82,6 +87,10 @@ class WorldMirrorConfig:
         return CameraHeadConfig(dim_in=2 * self.embed_dim)
 
     def _dpt(self, output_dim, activation, **kw) -> DPTConfig:
+        if self.dpt_features is not None:
+            kw.setdefault("features", self.dpt_features)
+        if self.dpt_out_channels is not None:
+            kw.setdefault("out_channels", tuple(self.dpt_out_channels))
         return DPTConfig(dim_in=2 * self.embed_dim, patch_size=self.patch_size,
                          output_dim=output_dim, activation=activation,
                          compute_dtype=self.head_dtype, **kw)

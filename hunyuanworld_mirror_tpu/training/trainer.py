@@ -36,6 +36,9 @@ class TrainConfig:
     weight_decay: float = 0.05
     steps_per_epoch: int = 18000  # cosine horizon (reference train.py:178)
     log_every: int = 100
+    # image-grid / bbox-overlay logging cadence (reference train.py:244-282
+    # logs visualizations every 14000 steps); 0 disables
+    vis_every: int = 14000
     ckpt_every_epochs: int = 2
     ckpt_path: str = "checkpoints/centersnap.npz"
     resume: Optional[str] = None
@@ -156,6 +159,16 @@ def train(cfg: TrainConfig, log_fn=print, tb_logdir=None):
                                 **{f"loss/{k}": float(v)
                                    for k, v in logs.items()}}, step)
                     tb.flush()
+            if (tb is not None and cfg.vis_every
+                    and step % cfg.vis_every == 0):
+                # GT-vs-pred heatmap grids + 3D bbox overlays at the
+                # reference's cadence (train.py:244-282)
+                from . import visualize as vz
+                preds = jax.tree.map(np.asarray,
+                                     model_forward(cfg, params, batch))
+                for tag, img in vz.training_visuals(batch, preds).items():
+                    tb.image(tag, img, step)
+                tb.flush()
 
         if test_loader is not None:
             tot, n = 0.0, 0

@@ -115,10 +115,18 @@ def _make_torch_rasterization(torch, impl):
 
 IMG, PATCH, EMBED, GSD = 56, 14, 64, 64
 B, S = 1, 2
+# shrunken DPT decoder widths (reference defaults are features 256 /
+# out_channels [256,512,1024,1024] — ~400 MB of params at ANY model scale,
+# which would make the golden fixtures uncommittable); applied to BOTH models
+DPT_F, DPT_OC = 32, (32, 48, 64, 64)
 
 
-@pytest.fixture(scope="module")
-def ref_bundle():
+def make_ref_model():
+    """Build the patched small-scale reference model + CPU raster oracle.
+
+    Returns (torch, model, captured, cleanup). Shared by the live parity
+    test below and tools/make_golden_fixtures.py (which bakes the outputs
+    into torch-free regression fixtures)."""
     torch = torch_reference()
     if "/root/reference/submodules/gsplat" not in sys.path:
         sys.path.insert(0, "/root/reference/submodules/gsplat")
@@ -137,6 +145,16 @@ def ref_bundle():
         kw.pop("max_resolution", None)
         orig_init(self, *a, **kw)
     VisualGeometryTransformer.__init__ = patched_init
+
+    # shrink the DPT decoders (see DPT_F/DPT_OC note above)
+    from src.models.heads.dense_head import DPTHead
+    orig_dpt_init = DPTHead.__init__
+    def dpt_init(self, *a, **kw):
+        kw["out_channels"] = list(DPT_OC)
+        if not kw.get("is_gsdpt"):
+            kw["features"] = DPT_F
+        orig_dpt_init(self, *a, **kw)
+    DPTHead.__init__ = dpt_init
 
     # the reference hardcodes GaussianSplatRenderer(feature_dim=256)
     # (worldmirror.py:111-118 never forwards gs_dim), so a small-scale build
@@ -173,13 +191,40 @@ def ref_bundle():
     # the non-degenerate path
     with torch.no_grad():
         model.cam_head.param_predictor.fc2.bias[7:] += 0.4
-    try:
-        yield torch, model, captured
-    finally:
+
+    def cleanup():
         VisualGeometryTransformer.__init__ = orig_init
+        DPTHead.__init__ = orig_dpt_init
         ref_raster.GaussianSplatRenderer.__init__ = orig_gsr_init
         ref_raster.rasterization = orig_raster
         ref_raster.Rasterizer.rasterize_batches = orig_batches
+
+    return torch, model, captured, cleanup
+
+
+@pytest.fixture(scope="module")
+def ref_bundle():
+    torch, model, captured, cleanup = make_ref_model()
+    try:
+        yield torch, model, captured
+    finally:
+        cleanup()
+
+
+def make_views(rng, cond):
+    """Deterministic test inputs shared with the golden-fixture generator."""
+    views = {"img": rng.uniform(size=(B, S, 3, IMG, IMG)).astype(np.float32)}
+    if sum(cond):
+        # plausible c2w poses + pinhole intrinsics + positive depth priors
+        poses = np.tile(np.eye(4, dtype=np.float32), (B, S, 1, 1))
+        poses[:, 1, :3, 3] = [0.2, -0.1, 0.15]
+        views["camera_pose"] = poses
+        K = np.array([[60.0, 0, IMG / 2], [0, 60.0, IMG / 2], [0, 0, 1]],
+                     np.float32)
+        views["camera_intrinsics"] = np.tile(K, (B, S, 1, 1))
+        views["depthmap"] = (1.0 + rng.uniform(size=(B, S, IMG, IMG))
+                             ).astype(np.float32)
+    return views
 
 
 def _run_reference(torch, model, captured, views_np, cond_flags):
@@ -200,16 +245,14 @@ def _run_reference(torch, model, captured, views_np, cond_flags):
     return out
 
 
-def _run_ours(model_torch, views_np, cond_flags):
+def run_ours_from_params(params, views_np, cond_flags):
+    """Run our JAX model from an already-converted param pytree (torch-free)."""
     from hunyuanworld_mirror_tpu.models import worldmirror
-    from tools import convert_weights as cw
 
     cfg = worldmirror.WorldMirrorConfig(
         img_size=IMG, patch_size=PATCH, embed_dim=EMBED, gs_dim=GSD,
-        patch_embed="conv", gs_compact=False)
-    sd = {k: v.detach().numpy() for k, v in model_torch.state_dict().items()}
-    params = cw.convert_worldmirror(sd)
-
+        patch_embed="conv", gs_compact=False,
+        dpt_features=DPT_F, dpt_out_channels=DPT_OC)
     views = {}
     for k, v in views_np.items():
         if k == "img":
@@ -219,6 +262,13 @@ def _run_ours(model_torch, views_np, cond_flags):
     # fp32 trunk: CPU torch disables the reference's bf16 autocast
     return worldmirror.forward(params, cfg, views, cond_flags=cond_flags,
                                render=True, trunk_dtype=jnp.float32)
+
+
+def _run_ours(model_torch, views_np, cond_flags):
+    from tools import convert_weights as cw
+    sd = {k: v.detach().numpy() for k, v in model_torch.state_dict().items()}
+    return run_ours_from_params(cw.convert_worldmirror(sd), views_np,
+                                cond_flags)
 
 
 def _splat_table(means, quats, scales, opac, sh):
@@ -235,22 +285,14 @@ def _splat_table(means, quats, scales, opac, sh):
                          ids=["no_priors", "all_priors"])
 def test_full_model(ref_bundle, rng, cond):
     torch, model, captured = ref_bundle
-
-    views = {"img": rng.uniform(size=(B, S, 3, IMG, IMG)).astype(np.float32)}
-    if sum(cond):
-        # plausible c2w poses + pinhole intrinsics + positive depth priors
-        poses = np.tile(np.eye(4, dtype=np.float32), (B, S, 1, 1))
-        poses[:, 1, :3, 3] = [0.2, -0.1, 0.15]
-        views["camera_pose"] = poses
-        K = np.array([[60.0, 0, IMG / 2], [0, 60.0, IMG / 2], [0, 0, 1]],
-                     np.float32)
-        views["camera_intrinsics"] = np.tile(K, (B, S, 1, 1))
-        views["depthmap"] = (1.0 + rng.uniform(size=(B, S, IMG, IMG))
-                             ).astype(np.float32)
-
+    views = make_views(rng, cond)
     ref = _run_reference(torch, model, captured, views, cond)
     ours = _run_ours(model, views, cond)
+    compare_full(ours, ref)
 
+
+def compare_full(ours, ref):
+    """Full prediction-dict comparison; also the golden-fixture contract."""
     # ---- cameras ----
     np.testing.assert_allclose(np.asarray(ours["camera_params"]),
                                ref["camera_params"], atol=2e-3)

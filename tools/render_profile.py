@@ -142,16 +142,19 @@ def main():
         [jnp.clip(comp["sh"][0][:, 0] + 0.5, 0.0, None),
          jnp.zeros((n, 1))], -1)
 
-    def stage_bin(i):
-        vals = ((m2d[i][:, 0], m2d[i][:, 1], con[i][:, 0], con[i][:, 1],
-                 con[i][:, 2], op0) + tuple(col[:, j] for j in range(4)))
+    # inputs passed as jit ARGUMENTS (not closure constants) so XLA cannot
+    # constant-fold the whole binning at compile time (advisor finding r2)
+    def stage_bin(m2d_i, rad_i, dep_i, op0_i, col_i):
+        vals = ((m2d_i[:, 0], m2d_i[:, 1], con[0][:, 0], con[0][:, 1],
+                 con[0][:, 2], op0_i) + tuple(col_i[:, j] for j in range(4)))
         fl = tiles.bin_gaussians_packed(
-            m2d[i], rad[i], dep[i], vals, tile_size, tw, th,
+            m2d_i, rad_i, dep_i, vals, tile_size, tw, th,
             gcfg.max_tiles_per_gauss, mpt)
         return fl.packed
 
-    bin_all = jax.jit(lambda: [stage_bin(i) for i in range(S)])
-    t_bin = timeit(bin_all, iters=args.iters)
+    bin_all = jax.jit(lambda m2d_, rad_, dep_, op0_, col_: [
+        stage_bin(m2d_[i], rad_[i], dep_[i], op0_, col_) for i in range(S)])
+    t_bin = timeit(bin_all, m2d, rad, dep, op0, col, iters=args.iters)
 
     print(f"A head+prepare : {1e3*t_a:8.1f} ms", flush=True)
     print(f"B voxel_prune  : {1e3*t_b:8.1f} ms", flush=True)
