@@ -49,7 +49,13 @@ def _cache_dir() -> str:
     return "/tmp/jax_cache_" + hashlib.sha1(fp.encode()).hexdigest()[:10]
 
 
-if _os.environ.get("JAX_COMPILATION_CACHE_DIR") != "":
+# CPU-only runs (tests, multichip dryruns: JAX_PLATFORMS=cpu) skip the cache
+# entirely: XLA:CPU persists AOT machine code whose "+prefer-no-*" pseudo
+# features never match the host's reported feature set, so every load warns
+# "could lead to execution errors such as SIGILL" and recompiles anyway. The
+# cache exists for the TPU path (axon startup ~12-15 min), not CPU.
+if (_os.environ.get("JAX_COMPILATION_CACHE_DIR") != ""
+        and _os.environ.get("JAX_PLATFORMS", "").strip().lower() != "cpu"):
     try:
         import jax as _jax
 

@@ -57,6 +57,24 @@ class SplatOptConfig:
     # RasterizeToPixels2DGS*.cu via ops/gs2d.py — renders RGB+ED+normals,
     # only the RGB channels drive the photometric loss)
     mode: str = "3dgs"
+    # camera pose optimization (reference simple_trainer_worldmirror.py
+    # :177-183, 511-528: per-camera 9-dim delta = 3 translation + 6D rotation
+    # applied as c2w @ T(delta), AdamW with exponential lr decay to 1% over
+    # the run)
+    pose_opt: bool = False
+    pose_opt_lr: float = 1e-3
+    pose_opt_reg: float = 1e-5
+    # random background compositing to discourage transparency (reference
+    # :143, :772-774: colors += bkgd * (1 - alpha), bkgd ~ U[0,1)^3 per step)
+    random_bkgd: bool = False
+    # depth supervision in disparity space (reference :202, :793-811 — the
+    # reference samples sparse COLMAP points via grid_sample; our input path
+    # carries dense depth from inference, so the L1 runs over valid pixels)
+    depth_loss: bool = False
+    depth_lambda: float = 1e-2
+    # opacity / scale regularization (reference :817-820)
+    opacity_reg: float = 0.0
+    scale_reg: float = 0.0
     # densification signal (gsplat strategy/default.py:12 semantics):
     #   "absgrad" — per-splat screen-space SUM of |dL/d means2d| from the
     #               Pallas backward's AbsGS tap (gsplat absgrad=True), scaled
@@ -111,17 +129,39 @@ def make_optimizer(cfg: SplatOptConfig, scene_scale: float = 1.0):
         from .mcmc import selective_adam as make_adam
     else:
         make_adam = optax.adam
-    return optax.multi_transform(
-        {
-            "means": make_adam(cfg.lr_means * scene_scale),
-            "log_scales": make_adam(cfg.lr_scales),
-            "quats": make_adam(cfg.lr_quats),
-            "opacity_logits": make_adam(cfg.lr_opacities),
-            "sh": make_adam(cfg.lr_sh),
-            "alive": optax.set_to_zero(),
-        },
-        {k: k for k in ("means", "log_scales", "quats", "opacity_logits",
-                        "sh", "alive")})
+    txs = {
+        "means": make_adam(cfg.lr_means * scene_scale),
+        "log_scales": make_adam(cfg.lr_scales),
+        "quats": make_adam(cfg.lr_quats),
+        "opacity_logits": make_adam(cfg.lr_opacities),
+        "sh": make_adam(cfg.lr_sh),
+        "alive": optax.set_to_zero(),
+    }
+    if cfg.pose_opt:
+        # reference :515-519 + :667-671: AdamW(pose_opt_lr, wd pose_opt_reg)
+        # with ExponentialLR gamma = 0.01^(1/max_steps)
+        sched = optax.exponential_decay(cfg.pose_opt_lr, cfg.iters,
+                                        decay_rate=0.01)
+        txs["cam_deltas"] = optax.adamw(sched, weight_decay=cfg.pose_opt_reg)
+    return optax.multi_transform(txs, {k: k for k in txs})
+
+
+def apply_cam_deltas(viewmats: jnp.ndarray, deltas: jnp.ndarray) -> jnp.ndarray:
+    """Adjust (S, 4, 4) w2c by per-camera 9-dim deltas on the c2w side.
+
+    Matches CameraOptModule.forward (gsplat examples/utils.py:28-48):
+    c2w' = c2w @ [[rot6d(identity + drot), dx], [0, 1]].
+    """
+    from ..utils import rotation
+    c2w = cam_utils.se3_inverse(viewmats)
+    dx, drot = deltas[:, :3], deltas[:, 3:]
+    ident = jnp.asarray([1.0, 0, 0, 0, 1.0, 0], deltas.dtype)
+    R = rotation.rot6d_to_matrix(drot + ident)
+    T = jnp.concatenate([
+        jnp.concatenate([R, dx[:, :, None]], axis=-1),
+        jnp.broadcast_to(jnp.asarray([[0.0, 0, 0, 1]], deltas.dtype),
+                         (deltas.shape[0], 1, 4))], axis=1)
+    return cam_utils.se3_inverse(c2w @ T)
 
 
 def render_splats(raw: Dict, viewmats: jnp.ndarray, Ks: jnp.ndarray,
@@ -144,17 +184,46 @@ def render_splats(raw: Dict, viewmats: jnp.ndarray, Ks: jnp.ndarray,
     return colors, alphas, meta
 
 
-def make_train_step(cfg: SplatOptConfig, tx, width: int, height: int):
+def make_train_step(cfg: SplatOptConfig, tx, width: int, height: int,
+                    scene_scale: float = 1.0):
     use_abs = cfg.resolved_signal() == "absgrad"
 
-    def step(raw, opt_state, viewmats, Ks, gt_images):
+    def step(raw, opt_state, viewmats, Ks, gt_images, gt_depths, key):
         tap = jnp.zeros((raw["means"].shape[0], 2), jnp.float32)
 
         def loss_fn(r, t):
-            colors, _, meta = render_splats(r, viewmats, Ks, width, height,
-                                            cfg, abs_tap=t if use_abs else None)
+            vm = viewmats
+            if cfg.pose_opt:
+                vm = apply_cam_deltas(viewmats, r["cam_deltas"])
+            colors, alphas, meta = render_splats(
+                r, vm, Ks, width, height, cfg,
+                abs_tap=t if use_abs else None)
             rgb = colors[..., :3]
+            if cfg.random_bkgd:
+                # reference :772-774: composite over a random background so
+                # transparency can't fake the photometric loss
+                bkgd = jax.random.uniform(key, (1, 1, 1, 3))
+                rgb = rgb + bkgd * (1.0 - alphas)
             loss = losses.photometric_loss(rgb, gt_images, cfg.ssim_lambda)
+            if cfg.depth_loss:
+                # disparity-space L1 (reference :793-811), dense variant:
+                # our input path carries per-pixel depth from inference
+                d = colors[..., 3]
+                valid = (gt_depths > 1e-6) & (d > 1e-6)
+                disp = jnp.where(d > 1e-6, 1.0 / jnp.maximum(d, 1e-6), 0.0)
+                disp_gt = jnp.where(gt_depths > 1e-6,
+                                    1.0 / jnp.maximum(gt_depths, 1e-6), 0.0)
+                dl = (jnp.sum(jnp.abs(disp - disp_gt) * valid)
+                      / jnp.maximum(jnp.sum(valid), 1.0)) * scene_scale
+                loss = loss + dl * cfg.depth_lambda
+            alive_f = r["alive"]
+            n_alive = jnp.maximum(jnp.sum(alive_f), 1.0)
+            if cfg.opacity_reg > 0.0:  # reference :817-818
+                loss = loss + cfg.opacity_reg * jnp.sum(
+                    jax.nn.sigmoid(r["opacity_logits"]) * alive_f) / n_alive
+            if cfg.scale_reg > 0.0:  # reference :819-820
+                loss = loss + cfg.scale_reg * jnp.sum(
+                    jnp.exp(r["log_scales"]) * alive_f[:, None]) / (3 * n_alive)
             return loss, meta
 
         (loss, meta), (grads, tap_grad) = jax.value_and_grad(
@@ -164,10 +233,10 @@ def make_train_step(cfg: SplatOptConfig, tx, width: int, height: int):
         # parameters; zero their rows so the optimizer state stays clean
         # (selective Adam would otherwise mark NaN rows as "visible").
         alive_rows = raw["alive"] > 0.5
-        grads = jax.tree.map(
-            lambda g: jnp.where(
-                alive_rows.reshape((-1,) + (1,) * (g.ndim - 1)), g, 0.0),
-            grads)
+        grads = {
+            k: (g if k == "cam_deltas" else jnp.where(
+                alive_rows.reshape((-1,) + (1,) * (g.ndim - 1)), g, 0.0))
+            for k, g in grads.items()}
         if use_abs:
             # AbsGS screen-space signal in gsplat's units: pixel-space
             # |dL/dmean2d| scaled by half the image size
@@ -255,20 +324,24 @@ def optimize_splats(
     cfg: Optional[SplatOptConfig] = None,
     seed: int = 0,
     log_fn=print,
+    depths: Optional[np.ndarray] = None,  # (S, H, W) for cfg.depth_loss
 ) -> Dict[str, np.ndarray]:
-    """Optimize a splat set against its source views; returns activated splats."""
+    """Optimize a splat set against its source views; returns activated splats
+    (+ "c2w_opt" refined cameras when cfg.pose_opt)."""
     cfg = cfg or SplatOptConfig()
     S, H, W, _ = images.shape
     n = splats["means"].shape[0]
     capacity = int(n * cfg.capacity_factor)
 
     raw = _raw_from_splats({k: jnp.asarray(v) for k, v in splats.items()}, capacity)
+    if cfg.pose_opt:
+        raw["cam_deltas"] = jnp.zeros((S, 9), jnp.float32)  # zero_init
     scene_scale = float(np.linalg.norm(
         np.asarray(c2w)[:, :3, 3] - np.asarray(c2w)[:, :3, 3].mean(0), axis=-1).max() + 1e-6)
 
     tx = make_optimizer(cfg, scene_scale)
     opt_state = tx.init(raw)
-    step_fn = make_train_step(cfg, tx, W, H)
+    step_fn = make_train_step(cfg, tx, W, H, scene_scale)
     if cfg.strategy == "mcmc":
         from . import mcmc as mcmc_lib
         refine_fn = jax.jit(lambda r, g, k: mcmc_lib.mcmc_refine(
@@ -283,6 +356,8 @@ def optimize_splats(
     viewmats = jnp.asarray(cam_utils.se3_inverse(jnp.asarray(c2w)))
     Ks_j = jnp.asarray(Ks)
     gt = jnp.asarray(images)
+    gt_depths = (jnp.asarray(depths) if depths is not None
+                 else jnp.zeros((S, H, W), jnp.float32))
 
     key = jax.random.PRNGKey(seed)
     # gsplat DefaultStrategy accumulation: per-splat grad sums averaged over
@@ -291,14 +366,23 @@ def optimize_splats(
     grad_sum = jnp.zeros((capacity,))
     seen = jnp.zeros((capacity,))
     for it in range(cfg.iters):
-        raw, opt_state, loss, g2d = step_fn(raw, opt_state, viewmats, Ks_j, gt)
+        key, kstep = jax.random.split(key)
+        raw, opt_state, loss, g2d = step_fn(raw, opt_state, viewmats, Ks_j,
+                                            gt, gt_depths, kstep)
         grad_sum = grad_sum + g2d
         seen = seen + (g2d > 0)
         if (cfg.refine_start <= it < cfg.refine_stop
                 and (it + 1) % cfg.refine_every == 0):
             key, sub = jax.random.split(key)
             raw = refine_fn(raw, grad_sum / jnp.maximum(seen, 1.0), sub)
-            opt_state = tx.init(raw)  # reset moments after topology change
+            new_state = tx.init(raw)  # reset moments after topology change
+            if cfg.pose_opt:
+                # cameras didn't change topology: keep their Adam moments and
+                # lr-decay step (the reference never resets pose optimizers)
+                new_state = new_state._replace(inner_states={
+                    **new_state.inner_states,
+                    "cam_deltas": opt_state.inner_states["cam_deltas"]})
+            opt_state = new_state
             grad_sum = jnp.zeros((capacity,))
             seen = jnp.zeros((capacity,))
         if noise_fn is not None:
@@ -312,6 +396,10 @@ def optimize_splats(
 
     means, quats, scales, opac, sh = _activate(raw)
     alive = np.asarray(raw["alive"] > 0.5)
-    return {"means": np.asarray(means)[alive], "quats": np.asarray(quats)[alive],
-            "scales": np.asarray(scales)[alive],
-            "opacities": np.asarray(opac)[alive], "sh": np.asarray(sh)[alive]}
+    out = {"means": np.asarray(means)[alive], "quats": np.asarray(quats)[alive],
+           "scales": np.asarray(scales)[alive],
+           "opacities": np.asarray(opac)[alive], "sh": np.asarray(sh)[alive]}
+    if cfg.pose_opt:
+        vm_opt = apply_cam_deltas(viewmats, raw["cam_deltas"])
+        out["c2w_opt"] = np.asarray(cam_utils.se3_inverse(vm_opt))
+    return out

@@ -87,6 +87,22 @@ def rotmat_to_quat(matrix: jnp.ndarray) -> jnp.ndarray:
     return standardize_quaternion(out)
 
 
+def rot6d_to_matrix(d6: jnp.ndarray) -> jnp.ndarray:
+    """6D rotation representation -> (..., 3, 3) via Gram-Schmidt.
+
+    Matches the reference's rotation_6d_to_matrix (Zhou et al.; used by the
+    post-opt trainer's CameraOptModule, gsplat examples/utils.py:12-48, and
+    the CenterSnap pose maps): first two 3-vectors are orthonormalized, third
+    is their cross product; rows are the basis vectors.
+    """
+    a1, a2 = d6[..., :3], d6[..., 3:]
+    b1 = a1 / jnp.maximum(jnp.linalg.norm(a1, axis=-1, keepdims=True), 1e-8)
+    a2p = a2 - jnp.sum(b1 * a2, axis=-1, keepdims=True) * b1
+    b2 = a2p / jnp.maximum(jnp.linalg.norm(a2p, axis=-1, keepdims=True), 1e-8)
+    b3 = jnp.cross(b1, b2)
+    return jnp.stack([b1, b2, b3], axis=-2)
+
+
 def hat(w: jnp.ndarray) -> jnp.ndarray:
     """Skew-symmetric matrix [w]x of (..., 3) vectors -> (..., 3, 3)."""
     wx, wy, wz = jnp.moveaxis(w, -1, 0)

@@ -15,8 +15,24 @@ from pathlib import Path
 sys.path.insert(0, "/root/repo")
 
 
+def _load_app():
+    """Import /root/repo/app.py under a unique module name: a bare
+    `import app` is hostage to whatever other module named `app` a parallel
+    pytest worker already put in sys.modules (VERDICT r2 weak #10)."""
+    import importlib.util
+
+    name = "wm_app_under_test"
+    if name in sys.modules:
+        return sys.modules[name]
+    spec = importlib.util.spec_from_file_location(name, "/root/repo/app.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
 def _start_server(tmp_path):
-    import app
+    app = _load_app()
 
     class Args:
         workdir = str(tmp_path)

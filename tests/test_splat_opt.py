@@ -69,3 +69,157 @@ class TestSplatOpt:
         assert out["means"].shape == (cap, 3)
         n_alive = int(jnp.sum(out["alive"] > 0.5))
         assert n_alive >= 40  # grew into free slots
+
+    def test_pose_opt_recovers_perturbation(self, rng):
+        """pose_opt=True: optimizing cam deltas against GT rendered from the
+        TRUE cameras, starting from perturbed cameras, must beat the same run
+        without pose_opt (reference simple_trainer:177-183, CameraOptModule)."""
+        splats, c2w, K = _scene(rng)
+        W = H = 32
+        from hunyuanworld_mirror_tpu.training.splat_opt import (
+            SplatOptConfig, _raw_from_splats, render_splats)
+        from hunyuanworld_mirror_tpu.utils import camera as cam_utils
+
+        cfg0 = SplatOptConfig(iters=0, max_per_tile=512)
+        raw = _raw_from_splats({k: jnp.asarray(v) for k, v in splats.items()},
+                               splats["means"].shape[0])
+        vm_true = cam_utils.se3_inverse(jnp.asarray(c2w))
+        gt, _, _ = render_splats(raw, vm_true, jnp.asarray(K), W, H, cfg0)
+        gt_rgb = np.asarray(gt[..., :3])
+
+        c2w_bad = c2w.copy()
+        c2w_bad[:, :3, 3] += rng.normal(size=(2, 3)).astype(np.float32) * 0.02
+
+        def run(pose_opt):
+            cfg = SplatOptConfig(iters=40, refine_start=10_000,
+                                 max_per_tile=512, pose_opt=pose_opt,
+                                 pose_opt_lr=5e-3,
+                                 # freeze splats: isolate the camera effect
+                                 lr_means=0.0, lr_scales=0.0, lr_quats=0.0,
+                                 lr_opacities=0.0, lr_sh=0.0)
+            out = splat_opt.optimize_splats(splats, gt_rgb, c2w_bad, K, cfg,
+                                            log_fn=lambda s: None)
+            vm = cam_utils.se3_inverse(
+                jnp.asarray(out.get("c2w_opt", c2w_bad)))
+            img, _, _ = render_splats(raw, vm, jnp.asarray(K), W, H, cfg0)
+            return float(jnp.abs(img[..., :3] - gt_rgb).mean()), out
+
+        err_off, _ = run(False)
+        err_on, out = run(True)
+        assert "c2w_opt" in out
+        assert err_on < err_off * 0.8, (err_on, err_off)
+
+    def test_apply_cam_deltas_identity(self, rng):
+        from hunyuanworld_mirror_tpu.training.splat_opt import apply_cam_deltas
+        from hunyuanworld_mirror_tpu.utils import camera as cam_utils
+        c2w = np.tile(np.eye(4, dtype=np.float32), (3, 1, 1))
+        c2w[:, :3, 3] = rng.normal(size=(3, 3)).astype(np.float32)
+        vm = cam_utils.se3_inverse(jnp.asarray(c2w))
+        out = apply_cam_deltas(vm, jnp.zeros((3, 9)))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(vm), atol=1e-5)
+
+    def test_depth_loss_and_regs_smoke(self, rng):
+        """depth_loss + random_bkgd + opacity/scale regs: loss finite and the
+        depth term pulls rendered depth toward GT."""
+        splats, c2w, K = _scene(rng)
+        W = H = 32
+        from hunyuanworld_mirror_tpu.training.splat_opt import (
+            SplatOptConfig, _raw_from_splats, render_splats)
+        from hunyuanworld_mirror_tpu.utils import camera as cam_utils
+        cfg0 = SplatOptConfig(iters=0, max_per_tile=512)
+        raw = _raw_from_splats({k: jnp.asarray(v) for k, v in splats.items()},
+                               splats["means"].shape[0])
+        vm = cam_utils.se3_inverse(jnp.asarray(c2w))
+        gt, _, _ = render_splats(raw, vm, jnp.asarray(K), W, H, cfg0)
+        gt_rgb = np.asarray(gt[..., :3])
+        gt_depth = np.asarray(gt[..., 3])
+
+        cfg = SplatOptConfig(iters=15, refine_start=10_000, max_per_tile=512,
+                             depth_loss=True, depth_lambda=1e-2,
+                             random_bkgd=True, opacity_reg=0.01,
+                             scale_reg=0.01)
+        out = splat_opt.optimize_splats(splats, gt_rgb, c2w, K, cfg,
+                                        depths=gt_depth,
+                                        log_fn=lambda s: None)
+        for v in out.values():
+            assert np.isfinite(v).all()
+
+
+class TestColmapDataset:
+    def test_roundtrip_and_normalize(self, rng, tmp_path):
+        """Write a tiny reconstruction with io/colmap's writers, parse it
+        back with training/colmap_dataset, check cameras/points and the
+        normalization invariants (median camera distance 1, principal axes
+        aligned)."""
+        from hunyuanworld_mirror_tpu.io import colmap as cio
+        from hunyuanworld_mirror_tpu.training import colmap_dataset as cds
+
+        sparse = tmp_path / "sparse" / "0"
+        sparse.mkdir(parents=True)
+        n_cams = 6
+        # cameras on a ring looking inward
+        c2w_true = []
+        for i in range(n_cams):
+            a = 2 * np.pi * i / n_cams
+            pos = np.array([2 * np.cos(a), 0.3, 2 * np.sin(a)])
+            fwd = -pos / np.linalg.norm(pos)
+            up = np.array([0.0, -1.0, 0.0])
+            right = np.cross(up, fwd); right /= np.linalg.norm(right)
+            upv = np.cross(fwd, right)
+            c2w = np.eye(4)
+            c2w[:3, 0], c2w[:3, 1], c2w[:3, 2], c2w[:3, 3] = right, upv, fwd, pos
+            c2w_true.append(c2w)
+        c2w_true = np.stack(c2w_true)
+
+        cio.write_cameras_bin(str(sparse / "cameras.bin"), [
+            {"camera_id": 1, "model": "PINHOLE", "width": 64, "height": 48,
+             "params": [60.0, 60.0, 32.0, 24.0]}])
+        ims = []
+        for i, c2w in enumerate(c2w_true):
+            w2c = np.linalg.inv(c2w)
+            R = w2c[:3, :3]
+            qv = cio._rotmat_to_qvec_wxyz(R)
+            ims.append({"image_id": i + 1, "qvec": qv, "tvec": w2c[:3, 3],
+                        "camera_id": 1, "name": f"img_{i:02d}.png"})
+        cio.write_images_bin(str(sparse / "images.bin"), ims)
+        pts = rng.normal(size=(50, 3)) * 0.5
+        cio.write_points3d_bin(str(sparse / "points3D.bin"), [
+            {"id": j, "xyz": pts[j], "rgb": (10, 20, 30)} for j in range(50)])
+
+        scene = cds.parse_colmap(str(tmp_path))
+        assert len(scene.image_names) == n_cams
+        assert scene.image_names == sorted(scene.image_names)
+        np.testing.assert_allclose(scene.c2w, c2w_true, atol=1e-5)
+        np.testing.assert_allclose(scene.Ks[0],
+                                   [[60, 0, 32], [0, 60, 24], [0, 0, 1]],
+                                   atol=1e-6)
+        assert scene.points.shape == (50, 3)
+
+        norm = cds.parse_colmap(str(tmp_path), normalize=True)
+        # similarity_from_cameras scales the median camera distance to ~1
+        d = np.linalg.norm(norm.c2w[:, :3, 3]
+                           - np.median(norm.c2w[:, :3, 3], 0), axis=1)
+        assert 0.3 < np.median(d) < 3.0
+        # rotations stay orthonormal after the similarity transform
+        RtR = np.einsum("nij,nik->njk", norm.c2w[:, :3, :3],
+                        norm.c2w[:, :3, :3])
+        np.testing.assert_allclose(RtR, np.tile(np.eye(3), (n_cams, 1, 1)),
+                                   atol=1e-4)
+        # points follow the same transform (relative geometry preserved up to
+        # scale): pairwise distance ratios constant
+        r0 = np.linalg.norm(pts[0] - pts[1]) / np.linalg.norm(pts[2] - pts[3])
+        r1 = (np.linalg.norm(norm.points[0] - norm.points[1])
+              / np.linalg.norm(norm.points[2] - norm.points[3]))
+        np.testing.assert_allclose(r0, r1, rtol=1e-4)
+
+    def test_split(self):
+        from hunyuanworld_mirror_tpu.training import colmap_dataset as cds
+        scene = cds.ColmapScene(
+            [f"i{i}" for i in range(10)], [""] * 10,
+            np.tile(np.eye(4, dtype=np.float32), (10, 1, 1)),
+            np.tile(np.eye(3, dtype=np.float32), (10, 1, 1)),
+            np.zeros((10, 2), np.int64), np.zeros((0, 3), np.float32),
+            np.zeros((0, 3), np.uint8))
+        train, test = scene.split(test_every=4)
+        assert list(test) == [0, 4, 8]
+        assert len(train) == 7 and not set(train) & set(test)
