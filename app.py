@@ -202,9 +202,13 @@ def render_result(run_id, info):
                f'src="/out/{run_id}/{info["artifacts"]["video"]}"></video>')
     viewer = ""
     if info.get("viewer"):
-        # interactive WebGL splat viewer (io/viewer.html, self-contained)
+        # interactive WebGL viewer (io/viewer.html, self-contained):
+        # splat mode + GLB scene mode (the reference demo's primary
+        # artifact, app.py:860+, now viewable in-browser, not download-only)
         viewer = (f'<p><a href="/viewer?run={run_id}" target="_blank">'
-                  f'open 3D viewer</a></p>'
+                  f'open 3D viewer</a> · '
+                  f'<a href="/viewer?run={run_id}&mode=glb" target="_blank">'
+                  f'GLB scene view</a></p>'
                   f'<iframe src="/viewer?run={run_id}" width="100%" '
                   f'height="480" style="border:1px solid #888"></iframe>')
     return (f"<h2>Result ({info['views']} views, "

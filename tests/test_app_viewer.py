@@ -84,3 +84,52 @@ def test_viewer_asset_matches_splat_layout():
     assert "buf.length >> 5" in html          # 32 bytes per record
     assert "cameras.json" in html
     assert html.count("<script>") == html.count("</script>") == 1
+
+
+def test_glb_viewer_mode(tmp_path):
+    """GLB mode contract: /viewer?mode=glb serves the page with the GLB
+    loader; scene.glb (built by io/scene.build_glb) is servable and its
+    chunk layout matches what the in-page parser expects (JSON + BIN,
+    POSITION/COLOR_0 accessors, POINTS + LINES primitives)."""
+    import struct
+
+    import numpy as np
+    from hunyuanworld_mirror_tpu.io import scene as scene_lib
+
+    run = tmp_path / "run_g"
+    run.mkdir()
+    rng = np.random.default_rng(0)
+    pts = rng.normal(size=(50, 3)).astype(np.float32)
+    cols = rng.uniform(size=(50, 3)).astype(np.float32)
+    c2w = np.tile(np.eye(4, dtype=np.float32), (2, 1, 1))
+    glb = scene_lib.build_glb(pts, cols, c2w=c2w)
+    (run / "scene.glb").write_bytes(glb)
+
+    srv, port = _start_server(tmp_path)
+    try:
+        page = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/viewer?run=run_g&mode=glb"
+        ).read().decode()
+        assert "loadGLB" in page and "scene.glb" in page
+        data = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/out/run_g/scene.glb").read()
+        assert data[:4] == b"glTF"
+        # chunk walk mirrors the in-page parser
+        total = struct.unpack("<I", data[8:12])[0]
+        assert total == len(data)
+        off, kinds = 12, []
+        while off < len(data):
+            ln, typ = struct.unpack("<II", data[off:off + 8])
+            kinds.append(typ)
+            off += 8 + ln
+        assert kinds == [0x4E4F534A, 0x004E4942]  # JSON then BIN
+        jlen = struct.unpack("<I", data[12:16])[0]
+        gltf = json.loads(data[20:20 + jlen])
+        prims = [p for m in gltf["meshes"] for p in m["primitives"]]
+        modes = sorted(p.get("mode", 4) for p in prims)
+        assert modes == [0, 1]  # points + camera-frusta lines
+        for p in prims:
+            assert "POSITION" in p["attributes"]
+            assert "COLOR_0" in p["attributes"]
+    finally:
+        srv.shutdown()
