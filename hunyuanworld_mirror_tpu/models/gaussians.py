@@ -451,6 +451,10 @@ def render(params, cfg: GSRendererConfig, gs_feats: jnp.ndarray,
                     max_tiles_per_gauss=cfg.max_tiles_per_gauss,
                     impl=cfg.rasterizer_impl, sh_degree=cfg.sh_degree)
             else:
+                # camera_batch: on the TPU pallas path all S cameras share
+                # ONE isect sort + kernel launch (sort cost is flat in rows
+                # — ops/rasterizer.py camera_batch note). Inference-only
+                # fast path; the jax impl (CPU tests, training) ignores it.
                 colors, alpha, _ = rasterizer.rasterize(
                     splats["means"][b], splats["quats"][b], splats["scales"][b],
                     splats["opacities"][b], splats["sh"][b],
@@ -458,7 +462,8 @@ def render(params, cfg: GSRendererConfig, gs_feats: jnp.ndarray,
                     W, H, render_mode="RGB+ED",
                     max_per_tile=cfg.max_per_tile,
                     max_tiles_per_gauss=cfg.max_tiles_per_gauss,
-                    impl=cfg.rasterizer_impl, quat_order="wxyz")
+                    impl=cfg.rasterizer_impl, quat_order="wxyz",
+                    camera_batch=True)
             outs.append(colors)
             alphas.append(alpha)
         rendered = jnp.stack(outs)   # (B, S, H, W, 4)

@@ -231,7 +231,7 @@ def rasterize_binned_world_jax(
     "width", "height", "tile_size", "render_mode", "max_per_tile",
     "max_tiles_per_gauss", "impl", "calc_compensations", "quat_order",
     "camera_model", "with_eval3d", "ftheta_coeffs", "rolling_shutter",
-    "ut_params", "radius_clip"))
+    "ut_params", "radius_clip", "camera_batch"))
 def rasterize(
     means: jnp.ndarray,      # (N, 3) world-space
     quats: jnp.ndarray,      # (N, 4) — `quat_order` selects XYZW (framework
@@ -263,6 +263,10 @@ def rasterize(
     radius_clip: float = 0.0,  # cull footprints with max radius <= this
     abs_tap: Optional[jnp.ndarray] = None,  # (N, 2) zeros; grad w.r.t. it is
                                             # the AbsGS absgrad (pallas impl)
+    camera_batch: bool = False,  # pallas INFERENCE fast path: one isect sort
+                                 # + one kernel launch for all C cameras
+                                 # (forward-only, no VJP — see
+                                 # rasterize_flat_pallas_multi)
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Dict]:
     """gsplat.rasterization equivalent (dense single-batch layout).
 
@@ -323,6 +327,56 @@ def rasterize(
             quats / jnp.linalg.norm(quats, axis=-1, keepdims=True))
         iscl_rots = jnp.swapaxes(Rg, -1, -2) / \
             jnp.maximum(scales, 1e-12)[..., :, None]
+
+    if (camera_batch and impl == "pallas" and not use_ut and not with_eval3d
+            and abs_tap is None):
+        # Batched-camera inference path: project all cameras in one SoA call,
+        # then ONE global isect sort + ONE Pallas launch. Rationale: TPU
+        # lax.sort cost is flat in row count (tools/sort_ab.py: 39-49 ms from
+        # 1M to 4.2M rows), so C per-camera sorts cost ~C x one batched sort.
+        from .rasterizer_pallas import rasterize_flat_pallas_multi
+
+        proj = projection.fully_fused_projection(
+            means, covars, viewmats, Ks, width, height, eps2d=eps2d,
+            near_plane=near_plane, far_plane=far_plane,
+            calc_compensations=calc_compensations, radius_clip=radius_clip)
+        op_all = (opacities[None] * proj.compensations
+                  if proj.compensations is not None
+                  else jnp.broadcast_to(opacities[None],
+                                        proj.depths.shape))
+
+        if colors.ndim == 2:
+            col_all = jnp.broadcast_to(colors[None],
+                                       (viewmats.shape[0],) + colors.shape)
+        else:
+            from ..utils import sh as sh_utils
+            cam_t = -jnp.einsum("cij,ci->cj", viewmats[:, :3, :3],
+                                viewmats[:, :3, 3], precision="highest")
+            dirs = means[None] - cam_t[:, None, :]
+            dirs = dirs / jnp.maximum(
+                jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-8)
+            deg = int(colors.shape[-2] ** 0.5) - 1
+            col_all = jax.vmap(lambda d: sh_utils.eval_sh(
+                deg, jnp.swapaxes(colors, -1, -2), d))(dirs)
+            col_all = jnp.clip(col_all + 0.5, 0.0, None)
+        if render_mode in ("RGB+D", "RGB+ED"):
+            col_all = jnp.concatenate([col_all, proj.depths[..., None]], -1)
+        elif render_mode in ("D", "ED"):
+            col_all = proj.depths[..., None]
+
+        render_colors, render_alphas, n_drop = rasterize_flat_pallas_multi(
+            proj.means2d, proj.conics, col_all, op_all, proj.radii,
+            proj.depths, width, height, tile_size, max_tiles_per_gauss,
+            max_per_tile)
+        if render_mode in ("ED", "RGB+ED"):
+            render_colors = jnp.concatenate([
+                render_colors[..., :-1],
+                render_colors[..., -1:] / jnp.maximum(render_alphas, 1e-10),
+            ], axis=-1)
+        meta = {"radii": proj.radii, "means2d": proj.means2d,
+                "depths": proj.depths,
+                "n_dropped": jnp.broadcast_to(n_drop, (viewmats.shape[0],))}
+        return render_colors, render_alphas, meta
 
     def per_camera(args):
         viewmat, K, rad_c, tang_c, vm_rs = args

@@ -65,14 +65,14 @@ DEPTH_BITS = 20
 
 
 def _isect_keys(means2d, radii, depths, tile_size, tile_width, tile_height,
-                TPG: int):
-    """Packed 31-bit isect sort keys: tile id (11b) | quantized depth (20b).
+                TPG: int, depth_bits: int = DEPTH_BITS):
+    """Packed 31-bit isect sort keys: tile id | quantized depth (depth_bits).
 
     The CUDA isect-key trick (IntersectTile.cu packs (tile|depth) 64-bit keys
-    for CUB radix sort) compressed into one i32 — depth quantized to 2^20
-    levels against the scene's live [min, max] range. A 1M-level depth rank
-    only permutes splats whose depths differ by <(range/2^20) within one
-    tile, which is blending-order noise.
+    for CUB radix sort) compressed into one i32 — depth quantized to
+    2^depth_bits levels against the scene's live [min, max] range. A 1M-level
+    depth rank only permutes splats whose depths differ by <(range/2^20)
+    within one tile, which is blending-order noise.
 
     Returns (key (TPG, N) i32, n_cover (N,), valid (N,)).
 
@@ -82,7 +82,7 @@ def _isect_keys(means2d, radii, depths, tile_size, tile_width, tile_height,
     per 4-camera render in the xprof trace.
     """
     n_tiles = tile_width * tile_height
-    assert n_tiles < (1 << (31 - DEPTH_BITS)), "tile id overflows packed key"
+    assert n_tiles < (1 << (31 - depth_bits)), "tile id overflows packed key"
 
     # tile_ranges math in (N,) component planes (the (N, 2) form pays TPU
     # lane padding — see projection.fully_fused_projection note)
@@ -109,12 +109,12 @@ def _isect_keys(means2d, radii, depths, tile_size, tile_width, tile_height,
     d_ok = jnp.where(valid, depths, jnp.inf)
     dmin = jnp.min(d_ok)
     dmax = jnp.max(jnp.where(valid, depths, -jnp.inf))
-    scale = ((1 << DEPTH_BITS) - 1) / jnp.maximum(dmax - dmin, 1e-12)
+    scale = ((1 << depth_bits) - 1) / jnp.maximum(dmax - dmin, 1e-12)
     # nan_to_num: a NaN depth (possible on culled slots) must not reach the
     # packed key — a negative int would set the sign bit and corrupt the sort
     depth_q = jnp.clip(jnp.nan_to_num((depths - dmin) * scale),
-                       0, (1 << DEPTH_BITS) - 1).astype(jnp.int32)
-    return (tile_id << DEPTH_BITS) | depth_q[None, :], n_cover, valid
+                       0, (1 << depth_bits) - 1).astype(jnp.int32)
+    return (tile_id << depth_bits) | depth_q[None, :], n_cover, valid
 
 
 def _searchsorted_2level(sorted_keys: jnp.ndarray, queries: jnp.ndarray,
@@ -187,6 +187,81 @@ def bin_gaussians(means2d: jnp.ndarray, radii: jnp.ndarray, depths: jnp.ndarray,
     gauss_dense = sorted_gauss[idx]  # (n_tiles, max_per_tile)
 
     return TileBins(gauss_dense, counts, n_dropped)
+
+
+def multi_camera_depth_bits(n_cams: int, n_tiles: int) -> int:
+    """Depth-quantization bits for camera-batched isect keys.
+
+    Key = (cam * (n_tiles + 1) + tile) << db | depth_q must fit in int31.
+    20 bits when it fits (single-camera semantics), shrinking as cameras
+    multiply the tile-id space. Measured motivation (tools/sort_ab.py +
+    the pow2 sweep): TPU lax.sort time is FLAT in row count (39-49 ms from
+    1M to 4.2M rows, 12 operands) — the per-SORT overhead dominates, so one
+    sort over all cameras' rows costs ~1 camera's sort instead of C of them.
+    """
+    import math
+    db = int(math.floor(math.log2((2 ** 31 - 1) / (n_cams * (n_tiles + 1)))))
+    db = min(DEPTH_BITS, db)
+    assert db >= 10, (
+        f"camera batch too large: {n_cams} cams x {n_tiles} tiles leaves "
+        f"{db} depth bits (<10); lower the camera chunk size")
+    return db
+
+
+def bin_gaussians_packed_multi(means2d: jnp.ndarray, radii: jnp.ndarray,
+                               depths: jnp.ndarray, values,
+                               tile_size: int, tile_width: int,
+                               tile_height: int,
+                               max_tiles_per_gauss: int = 9,
+                               max_per_tile: int = 1024,
+                               with_ids: bool = False) -> FlatBins:
+    """Camera-batched bin_gaussians_packed: ONE global sort for all cameras.
+
+    Args:
+      means2d (C, N, 2), radii (C, N, 2), depths (C, N);
+      values: sequence of V (C, N) payload planes.
+    Returns FlatBins whose starts/counts have length C * n_tiles
+    (camera-major: camera c's tile t at index c * n_tiles + t) and whose
+    packed list is the single sorted (V, C*TPG*N) array. gauss_ids (when
+    requested) map entries to n (gaussian index within N); the camera is
+    implied by the tile segment.
+    """
+    C, N = depths.shape
+    n_tiles = tile_width * tile_height
+    TPG = max_tiles_per_gauss
+    db = multi_camera_depth_bits(C, n_tiles)
+
+    keys, covers, valids = jax.vmap(
+        lambda m, r, d: _isect_keys(m, r, d, tile_size, tile_width,
+                                    tile_height, TPG, depth_bits=db)
+    )(means2d, radii, depths)                       # (C, TPG, N), (C, N) x2
+    cam = jnp.arange(C, dtype=jnp.int32)[:, None, None]
+    keys = keys + ((cam * (n_tiles + 1)) << db)
+
+    flat_idx = jnp.arange(C * TPG * N, dtype=jnp.int32)
+    planes = tuple(jnp.broadcast_to(p[:, None, :], (C, TPG, N)).reshape(-1)
+                   for p in values)
+    sorted_ = lax.sort((keys.reshape(-1), flat_idx) + planes, num_keys=2,
+                       is_stable=False)
+
+    # per-(cam, tile) edges: query the left edge of every tile id, plus each
+    # camera's sentinel boundary, in one searchsorted pass
+    cam_q = jnp.repeat(jnp.arange(C, dtype=jnp.int32), n_tiles + 1)
+    tile_q = jnp.tile(jnp.arange(n_tiles + 1, dtype=jnp.int32), C)
+    queries = (cam_q * (n_tiles + 1) + tile_q) << db
+    edges = _searchsorted_2level(sorted_[0], queries).reshape(C, n_tiles + 1)
+    starts = edges[:, :-1].reshape(-1)
+    counts_full = (edges[:, 1:] - edges[:, :-1]).reshape(-1)
+    counts = jnp.minimum(counts_full, max_per_tile)
+    n_dropped = (jnp.sum(counts_full - counts)
+                 + jnp.sum(jnp.maximum(covers - TPG, 0) * valids)
+                 ).astype(jnp.int32)
+
+    packed = jnp.stack(sorted_[2:], axis=0)
+    if with_ids:
+        return FlatBins(packed, starts, counts, n_dropped,
+                        lax.rem(sorted_[1], N))
+    return FlatBins(packed, starts, counts, n_dropped)
 
 
 def bin_gaussians_packed(means2d: jnp.ndarray, radii: jnp.ndarray,

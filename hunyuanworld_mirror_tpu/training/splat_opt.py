@@ -12,7 +12,7 @@ scale shrink), pruning deadens low-opacity slots — all static-shape scatter
 ops inside jit. The rasterizer is this framework's Pallas/JAX tile pipeline.
 """
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -75,6 +75,13 @@ class SplatOptConfig:
     # opacity / scale regularization (reference :817-820)
     opacity_reg: float = 0.0
     scale_reg: float = 0.0
+    # bilateral-grid appearance compensation (reference :196-199, 556-566:
+    # per-view 3x4 color-affine grids sliced by (x, y, gray), Adam 2e-3,
+    # + 10x total-variation regularizer at :813)
+    use_bilateral_grid: bool = False
+    bilateral_grid_shape: Tuple[int, int, int] = (16, 16, 8)
+    bilgrid_lr: float = 2e-3
+    bilgrid_tv_mult: float = 10.0
     # densification signal (gsplat strategy/default.py:12 semantics):
     #   "absgrad" — per-splat screen-space SUM of |dL/d means2d| from the
     #               Pallas backward's AbsGS tap (gsplat absgrad=True), scaled
@@ -143,6 +150,8 @@ def make_optimizer(cfg: SplatOptConfig, scene_scale: float = 1.0):
         sched = optax.exponential_decay(cfg.pose_opt_lr, cfg.iters,
                                         decay_rate=0.01)
         txs["cam_deltas"] = optax.adamw(sched, weight_decay=cfg.pose_opt_reg)
+    if cfg.use_bilateral_grid:
+        txs["bil_grids"] = optax.adam(cfg.bilgrid_lr, eps=1e-15)
     return optax.multi_transform(txs, {k: k for k in txs})
 
 
@@ -188,7 +197,12 @@ def make_train_step(cfg: SplatOptConfig, tx, width: int, height: int,
                     scene_scale: float = 1.0):
     use_abs = cfg.resolved_signal() == "absgrad"
 
-    def step(raw, opt_state, viewmats, Ks, gt_images, gt_depths, key):
+    def step(raw, opt_state, viewmats, Ks, gt_images, gt_depths=None,
+             key=None):
+        if cfg.depth_loss and gt_depths is None:
+            raise ValueError("cfg.depth_loss needs gt_depths")
+        if cfg.random_bkgd and key is None:
+            key = jax.random.PRNGKey(0)
         tap = jnp.zeros((raw["means"].shape[0], 2), jnp.float32)
 
         def loss_fn(r, t):
@@ -199,6 +213,11 @@ def make_train_step(cfg: SplatOptConfig, tx, width: int, height: int,
                 r, vm, Ks, width, height, cfg,
                 abs_tap=t if use_abs else None)
             rgb = colors[..., :3]
+            if cfg.use_bilateral_grid:
+                # appearance compensation BEFORE background compositing
+                # (reference order :765 then :772)
+                from . import bilagrid
+                rgb = bilagrid.slice_image_grids(r["bil_grids"], rgb)
             if cfg.random_bkgd:
                 # reference :772-774: composite over a random background so
                 # transparency can't fake the photometric loss
@@ -224,6 +243,10 @@ def make_train_step(cfg: SplatOptConfig, tx, width: int, height: int,
             if cfg.scale_reg > 0.0:  # reference :819-820
                 loss = loss + cfg.scale_reg * jnp.sum(
                     jnp.exp(r["log_scales"]) * alive_f[:, None]) / (3 * n_alive)
+            if cfg.use_bilateral_grid:  # reference :813 (10x TV loss)
+                from . import bilagrid
+                loss = loss + cfg.bilgrid_tv_mult * \
+                    bilagrid.total_variation_loss(r["bil_grids"])
             return loss, meta
 
         (loss, meta), (grads, tap_grad) = jax.value_and_grad(
@@ -234,7 +257,7 @@ def make_train_step(cfg: SplatOptConfig, tx, width: int, height: int,
         # (selective Adam would otherwise mark NaN rows as "visible").
         alive_rows = raw["alive"] > 0.5
         grads = {
-            k: (g if k == "cam_deltas" else jnp.where(
+            k: (g if k in ("cam_deltas", "bil_grids") else jnp.where(
                 alive_rows.reshape((-1,) + (1,) * (g.ndim - 1)), g, 0.0))
             for k, g in grads.items()}
         if use_abs:
@@ -336,6 +359,10 @@ def optimize_splats(
     raw = _raw_from_splats({k: jnp.asarray(v) for k, v in splats.items()}, capacity)
     if cfg.pose_opt:
         raw["cam_deltas"] = jnp.zeros((S, 9), jnp.float32)  # zero_init
+    if cfg.use_bilateral_grid:
+        from . import bilagrid
+        gx, gy, gw = cfg.bilateral_grid_shape
+        raw["bil_grids"] = bilagrid.init_bilateral_grids(S, gx, gy, gw)
     scene_scale = float(np.linalg.norm(
         np.asarray(c2w)[:, :3, 3] - np.asarray(c2w)[:, :3, 3].mean(0), axis=-1).max() + 1e-6)
 
@@ -376,12 +403,15 @@ def optimize_splats(
             key, sub = jax.random.split(key)
             raw = refine_fn(raw, grad_sum / jnp.maximum(seen, 1.0), sub)
             new_state = tx.init(raw)  # reset moments after topology change
-            if cfg.pose_opt:
-                # cameras didn't change topology: keep their Adam moments and
-                # lr-decay step (the reference never resets pose optimizers)
+            keep_states = [k for k in ("cam_deltas", "bil_grids")
+                           if k in raw]
+            if keep_states:
+                # cameras/appearance grids didn't change topology: keep
+                # their Adam moments and lr-schedule step (the reference
+                # never resets these optimizers on densify)
                 new_state = new_state._replace(inner_states={
                     **new_state.inner_states,
-                    "cam_deltas": opt_state.inner_states["cam_deltas"]})
+                    **{k: opt_state.inner_states[k] for k in keep_states}})
             opt_state = new_state
             grad_sum = jnp.zeros((capacity,))
             seen = jnp.zeros((capacity,))

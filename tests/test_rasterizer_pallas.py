@@ -193,3 +193,105 @@ class TestFlatPallasParity:
         # splat contributed no pixel, so the abs accumulation is zero too
         no_contrib = np.all(gm == 0.0, axis=-1)
         assert np.all(gabs[no_contrib] == 0.0)
+
+
+class TestMultiCameraBatch:
+    """Camera-batched binning + flat kernel vs the per-camera path."""
+
+    def test_bins_match_per_camera(self, rng):
+        means, quats, scales, opac, colors, viewmats, Ks = _random_scene(
+            rng, n=200, c=3)
+        covars = projection.quat_scale_to_covar_planes(
+            jnp.asarray(quats), jnp.asarray(scales))
+        W, H, tile = 64, 48, 16
+        proj = projection.fully_fused_projection(
+            jnp.asarray(means), covars, jnp.asarray(viewmats),
+            jnp.asarray(Ks), W, H)
+        tw, th = (W + tile - 1) // tile, (H + tile - 1) // tile
+        n_tiles = tw * th
+        C, N = proj.depths.shape
+        op = jnp.broadcast_to(jnp.asarray(opac)[None], (C, N))
+        vals_multi = (proj.means2d[..., 0], proj.means2d[..., 1],
+                      proj.conics[..., 0], proj.conics[..., 1],
+                      proj.conics[..., 2], op)
+        fl_m = tiles.bin_gaussians_packed_multi(
+            proj.means2d, proj.radii, proj.depths, vals_multi, tile, tw, th,
+            max_tiles_per_gauss=8, max_per_tile=512, with_ids=True)
+        assert fl_m.starts.shape == (C * n_tiles,)
+
+        for c in range(C):
+            vals_c = tuple(v[c] for v in vals_multi)
+            fl_c = tiles.bin_gaussians_packed(
+                proj.means2d[c], proj.radii[c], proj.depths[c], vals_c,
+                tile, tw, th, max_tiles_per_gauss=8, max_per_tile=512,
+                with_ids=True)
+            s_m = fl_m.starts[c * n_tiles:(c + 1) * n_tiles]
+            c_m = fl_m.counts[c * n_tiles:(c + 1) * n_tiles]
+            np.testing.assert_array_equal(np.asarray(c_m),
+                                          np.asarray(fl_c.counts))
+            # per-tile entry sets agree (depth quantization differs — the
+            # multi key has fewer depth bits — so within-tile ORDER may
+            # permute at quantization ties; compare as sets per tile)
+            for t in range(n_tiles):
+                n_t = int(fl_c.counts[t])
+                if n_t == 0:
+                    continue
+                ids_c = np.sort(np.asarray(
+                    fl_c.gauss_ids[int(fl_c.starts[t]):int(fl_c.starts[t]) + n_t]))
+                ids_m = np.sort(np.asarray(
+                    fl_m.gauss_ids[int(s_m[t]):int(s_m[t]) + n_t]))
+                np.testing.assert_array_equal(ids_m, ids_c)
+
+    def test_multi_forward_matches_jax(self, rng):
+        from hunyuanworld_mirror_tpu.ops.rasterizer_pallas import (
+            rasterize_flat_pallas_multi)
+
+        means, quats, scales, opac, colors, viewmats, Ks = _random_scene(
+            rng, n=150, c=2)
+        covars = projection.quat_scale_to_covar_planes(
+            jnp.asarray(quats), jnp.asarray(scales))
+        W, H, tile = 64, 48, 16
+        proj = projection.fully_fused_projection(
+            jnp.asarray(means), covars, jnp.asarray(viewmats),
+            jnp.asarray(Ks), W, H)
+        C, N = proj.depths.shape
+        colors_j = jnp.asarray(colors)
+        col_all = jnp.concatenate([
+            jnp.broadcast_to(colors_j[None], (C, N, 3)),
+            proj.depths[..., None]], -1)
+        op = jnp.broadcast_to(jnp.asarray(opac)[None], (C, N))
+
+        out_m, a_m, _ = rasterize_flat_pallas_multi(
+            proj.means2d, proj.conics, col_all, op, proj.radii, proj.depths,
+            W, H, tile, 8, 512, interpret=True)
+
+        tw, th = (W + tile - 1) // tile, (H + tile - 1) // tile
+        for c in range(C):
+            bins = tiles.bin_gaussians(proj.means2d[c], proj.radii[c],
+                                       proj.depths[c], tile, tw, th,
+                                       max_tiles_per_gauss=8, max_per_tile=512)
+            img_j, a_j = rasterize_binned_jax(
+                proj.means2d[c], proj.conics[c], col_all[c], op[c], bins,
+                W, H, tile)
+            np.testing.assert_allclose(np.asarray(out_m[c]),
+                                       np.asarray(img_j), atol=1e-3,
+                                       rtol=1e-3)
+            np.testing.assert_allclose(np.asarray(a_m[c]), np.asarray(a_j),
+                                       atol=1e-3)
+
+    def test_rasterize_camera_batch_flag_cpu_fallback(self, rng):
+        # on CPU impl="pallas" falls back to "jax"; camera_batch must not
+        # change results or crash
+        from hunyuanworld_mirror_tpu.ops.rasterizer import rasterize
+        means, quats, scales, opac, colors, viewmats, Ks = _random_scene(
+            rng, n=80, c=2)
+        a = rasterize(jnp.asarray(means), jnp.asarray(quats),
+                      jnp.asarray(scales), jnp.asarray(opac),
+                      jnp.asarray(colors), jnp.asarray(viewmats),
+                      jnp.asarray(Ks), 64, 48, max_per_tile=512,
+                      camera_batch=True)[0]
+        b = rasterize(jnp.asarray(means), jnp.asarray(quats),
+                      jnp.asarray(scales), jnp.asarray(opac),
+                      jnp.asarray(colors), jnp.asarray(viewmats),
+                      jnp.asarray(Ks), 64, 48, max_per_tile=512)[0]
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

@@ -223,3 +223,61 @@ class TestColmapDataset:
         train, test = scene.split(test_every=4)
         assert list(test) == [0, 4, 8]
         assert len(train) == 7 and not set(train) & set(test)
+
+
+class TestBilateralGrid:
+    def test_identity_grid_is_identity(self, rng):
+        from hunyuanworld_mirror_tpu.training import bilagrid
+        g = bilagrid.init_bilateral_grids(2)
+        imgs = jnp.asarray(rng.uniform(size=(2, 12, 16, 3)).astype(np.float32))
+        out = bilagrid.slice_image_grids(g, imgs)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(imgs),
+                                   atol=1e-6)
+        assert float(bilagrid.total_variation_loss(g)) == 0.0
+
+    def test_grid_learns_brightness_shift(self, rng):
+        """A constant color offset between render and GT must be absorbable
+        by the grid's affine bias channel."""
+        from hunyuanworld_mirror_tpu.training import bilagrid
+        import optax
+        img = jnp.asarray(rng.uniform(0.2, 0.6,
+                                      size=(1, 12, 16, 3)).astype(np.float32))
+        target = jnp.clip(img + 0.2, 0, 1)
+        grids = bilagrid.init_bilateral_grids(1, 8, 8, 4)
+        tx = optax.adam(5e-2)
+        state = tx.init(grids)
+
+        @jax.jit
+        def step(g, s):
+            def loss_fn(g):
+                out = bilagrid.slice_image_grids(g, img)
+                return jnp.mean((out - target) ** 2)
+            l, gr = jax.value_and_grad(loss_fn)(g)
+            up, s = tx.update(gr, s)
+            return optax.apply_updates(g, up), s, l
+
+        l0 = None
+        for i in range(60):
+            grids, state, l = step(grids, state)
+            if l0 is None:
+                l0 = float(l)
+        assert float(l) < l0 * 0.05, (l0, float(l))
+
+    def test_splat_opt_with_bilgrid_smoke(self, rng):
+        splats, c2w, K = _scene(rng)
+        from hunyuanworld_mirror_tpu.training.splat_opt import (
+            SplatOptConfig, _raw_from_splats, render_splats)
+        from hunyuanworld_mirror_tpu.utils import camera as cam_utils
+        cfg0 = SplatOptConfig(iters=0, max_per_tile=512)
+        raw = _raw_from_splats({k: jnp.asarray(v) for k, v in splats.items()},
+                               splats["means"].shape[0])
+        vm = cam_utils.se3_inverse(jnp.asarray(c2w))
+        gt, _, _ = render_splats(raw, vm, jnp.asarray(K), 32, 32, cfg0)
+        cfg = SplatOptConfig(iters=10, refine_start=5, refine_every=5,
+                             refine_stop=100, max_per_tile=512,
+                             use_bilateral_grid=True,
+                             bilateral_grid_shape=(8, 8, 4))
+        out = splat_opt.optimize_splats(splats, np.asarray(gt[..., :3]),
+                                        c2w, K, cfg, log_fn=lambda s: None)
+        for v in out.values():
+            assert np.isfinite(v).all()

@@ -156,13 +156,31 @@ def main():
         stage_bin(m2d_[i], rad_[i], dep_[i], op0_, col_) for i in range(S)])
     t_bin = timeit(bin_all, m2d, rad, dep, op0, col, iters=args.iters)
 
+    # stage D-multi: camera-batched rasterize (one sort + one kernel launch)
+    def stage_dm(s, vm, K):
+        colors, alpha, _ = rasterizer.rasterize(
+            s["means"][0], s["quats"][0], s["scales"][0], s["opacities"][0],
+            s["sh"][0], lax.stop_gradient(vm), lax.stop_gradient(K),
+            W, H, render_mode="RGB+ED", max_per_tile=gcfg.max_per_tile,
+            max_tiles_per_gauss=gcfg.max_tiles_per_gauss, impl="pallas",
+            quat_order="wxyz", camera_batch=True)
+        return colors
+    dm = jax.jit(stage_dm)
+    t_dm = timeit(dm, comp, w2c, Ks, iters=args.iters)
+    # parity spot check vs the per-camera path
+    import numpy as np
+    delta = float(jnp.max(jnp.abs(dm(comp, w2c, Ks)[..., :3]
+                                  - d(comp, w2c, Ks)[..., :3])))
+
     print(f"A head+prepare : {1e3*t_a:8.1f} ms", flush=True)
     print(f"B voxel_prune  : {1e3*t_b:8.1f} ms", flush=True)
     print(f"C compact      : {1e3*t_c:8.1f} ms", flush=True)
-    print(f"D rasterize(pl): {1e3*t_d:8.1f} ms   ({S} cams)", flush=True)
+    print(f"D rasterize(pl): {1e3*t_d:8.1f} ms   ({S} cams, per-camera)", flush=True)
     print(f"  D1 projection: {1e3*t_p:8.1f} ms", flush=True)
     print(f"  D2 binning   : {1e3*t_bin:8.1f} ms", flush=True)
-    print(f"sum A+B+C+D    : {1e3*(t_a+t_b+t_c+t_d):8.1f} ms", flush=True)
+    print(f"Dm cam-batched : {1e3*t_dm:8.1f} ms   (max |rgb delta| {delta:.2e})",
+          flush=True)
+    print(f"sum A+B+C+Dm   : {1e3*(t_a+t_b+t_c+t_dm):8.1f} ms", flush=True)
 
     # heads compute-dtype A/B: reference runs its DPT heads fp32
     # (worldmirror.py:146 autocast off); measure what bf16 conv compute

@@ -155,6 +155,9 @@ def main():
                    help="random background compositing (reference :143)")
     p.add_argument("--opacity-reg", type=float, default=0.0)
     p.add_argument("--scale-reg", type=float, default=0.0)
+    p.add_argument("--bilateral-grid", action="store_true",
+                   help="per-view bilateral-grid appearance compensation "
+                        "(reference lib_bilagrid.py, :196-199)")
     p.add_argument("--test-every", type=int, default=0,
                    help="hold out every Nth view for PSNR/SSIM eval "
                         "(reference eval loop :1005); 0 trains on all")
@@ -195,7 +198,8 @@ def main():
                                    depth_lambda=args.depth_lambda,
                                    random_bkgd=args.random_bkgd,
                                    opacity_reg=args.opacity_reg,
-                                   scale_reg=args.scale_reg)
+                                   scale_reg=args.scale_reg,
+                                   use_bilateral_grid=args.bilateral_grid)
     out = splat_opt.optimize_splats(
         splats, imgs[train_idx], c2w[train_idx], Ks[train_idx], cfg,
         depths=depths[train_idx] if depths is not None else None)
