@@ -82,6 +82,11 @@ class SplatOptConfig:
     bilateral_grid_shape: Tuple[int, int, int] = (16, 16, 8)
     bilgrid_lr: float = 2e-3
     bilgrid_tv_mult: float = 10.0
+    # TensorBoard logging (reference tb_every=100 / tb_save_image :206-209):
+    # scalars every tb_every steps; rendered-vs-GT image pairs when
+    # tb_save_image. Enabled by passing tb_logdir to optimize_splats.
+    tb_every: int = 100
+    tb_save_image: bool = False
     # densification signal (gsplat strategy/default.py:12 semantics):
     #   "absgrad" — per-splat screen-space SUM of |dL/d means2d| from the
     #               Pallas backward's AbsGS tap (gsplat absgrad=True), scaled
@@ -348,6 +353,7 @@ def optimize_splats(
     seed: int = 0,
     log_fn=print,
     depths: Optional[np.ndarray] = None,  # (S, H, W) for cfg.depth_loss
+    tb_logdir: Optional[str] = None,      # TensorBoard events (tb_writer.py)
 ) -> Dict[str, np.ndarray]:
     """Optimize a splat set against its source views; returns activated splats
     (+ "c2w_opt" refined cameras when cfg.pose_opt)."""
@@ -386,6 +392,11 @@ def optimize_splats(
     gt_depths = (jnp.asarray(depths) if depths is not None
                  else jnp.zeros((S, H, W), jnp.float32))
 
+    tb = None
+    if tb_logdir:
+        from .tb_writer import TBWriter
+        tb = TBWriter(tb_logdir)
+
     key = jax.random.PRNGKey(seed)
     # gsplat DefaultStrategy accumulation: per-splat grad sums averaged over
     # the steps the splat was actually visible (strategy/default.py state
@@ -423,6 +434,19 @@ def optimize_splats(
         if (it + 1) % 100 == 0:
             log_fn(f"splat-opt iter {it + 1}: loss {float(loss):.4f} "
                    f"alive {int(jnp.sum(raw['alive'] > 0.5))}")
+        if tb is not None and (it + 1) % max(cfg.tb_every, 1) == 0:
+            tb.scalars({"train/loss": float(loss),
+                        "train/num_GS": float(jnp.sum(raw["alive"] > 0.5))},
+                       it + 1)
+            if cfg.tb_save_image:
+                # rendered view 0 vs GT side by side (reference :206-209)
+                img, _, _ = render_splats(raw, viewmats[:1], Ks_j[:1],
+                                          W, H, cfg)
+                pair = np.concatenate([
+                    np.clip(np.asarray(img[0, ..., :3]), 0, 1),
+                    np.asarray(gt[0])], axis=1)
+                tb.image("train/render_vs_gt", pair, it + 1)
+            tb.flush()
 
     means, quats, scales, opac, sh = _activate(raw)
     alive = np.asarray(raw["alive"] > 0.5)

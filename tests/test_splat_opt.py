@@ -281,3 +281,25 @@ class TestBilateralGrid:
                                         c2w, K, cfg, log_fn=lambda s: None)
         for v in out.values():
             assert np.isfinite(v).all()
+
+
+def test_splat_opt_tb_logging(rng, tmp_path):
+    """tb_logdir: scalar + image events land in a readable events file."""
+    from hunyuanworld_mirror_tpu.training import tb_writer
+    splats, c2w, K = _scene(rng, n=40)
+    imgs = rng.uniform(size=(2, 32, 32, 3)).astype(np.float32)
+    cfg = splat_opt.SplatOptConfig(iters=4, refine_start=1000,
+                                   max_per_tile=512, tb_every=2,
+                                   tb_save_image=True)
+    splat_opt.optimize_splats(splats, imgs, c2w, K, cfg,
+                              log_fn=lambda s: None,
+                              tb_logdir=str(tmp_path))
+    import glob
+    (path,) = glob.glob(str(tmp_path / "events.out.tfevents.*"))
+    scalars = tb_writer.read_scalars(path)
+    steps = [s for s, v in scalars if "train/loss" in v]
+    assert steps == [2, 4], steps
+    images = tb_writer.read_images(path)
+    assert [(s, t) for s, t, _ in images] == [
+        (2, "train/render_vs_gt"), (4, "train/render_vs_gt")]
+    assert images[0][2].shape == (32, 64, 3)

@@ -158,6 +158,10 @@ def main():
     p.add_argument("--bilateral-grid", action="store_true",
                    help="per-view bilateral-grid appearance compensation "
                         "(reference lib_bilagrid.py, :196-199)")
+    p.add_argument("--tb", metavar="LOGDIR",
+                   help="write TensorBoard events (loss/num_GS scalars + "
+                        "render-vs-GT images, reference tb_every/"
+                        "tb_save_image)")
     p.add_argument("--test-every", type=int, default=0,
                    help="hold out every Nth view for PSNR/SSIM eval "
                         "(reference eval loop :1005); 0 trains on all")
@@ -199,10 +203,12 @@ def main():
                                    random_bkgd=args.random_bkgd,
                                    opacity_reg=args.opacity_reg,
                                    scale_reg=args.scale_reg,
-                                   use_bilateral_grid=args.bilateral_grid)
+                                   use_bilateral_grid=args.bilateral_grid,
+                                   tb_save_image=bool(args.tb))
     out = splat_opt.optimize_splats(
         splats, imgs[train_idx], c2w[train_idx], Ks[train_idx], cfg,
-        depths=depths[train_idx] if depths is not None else None)
+        depths=depths[train_idx] if depths is not None else None,
+        tb_logdir=args.tb)
     print(f"optimized: {len(out['means'])} splats alive")
 
     # held-out eval (reference simple_trainer:1005)
