@@ -451,10 +451,11 @@ def render(params, cfg: GSRendererConfig, gs_feats: jnp.ndarray,
                     max_tiles_per_gauss=cfg.max_tiles_per_gauss,
                     impl=cfg.rasterizer_impl, sh_degree=cfg.sh_degree)
             else:
-                # camera_batch: on the TPU pallas path all S cameras share
-                # ONE isect sort + kernel launch (sort cost is flat in rows
-                # — ops/rasterizer.py camera_batch note). Inference-only
-                # fast path; the jax impl (CPU tests, training) ignores it.
+                # camera_batch stays OFF: the batched path is bit-exact but
+                # measured ~30 ms SLOWER at S=4/518px (phase_repeat: 194 vs
+                # 162 ms) — sorts turned out to be a few ms (the 40-56 ms
+                # per-call readings were relay readback floor), so batching
+                # them buys nothing while the bigger packed array costs.
                 colors, alpha, _ = rasterizer.rasterize(
                     splats["means"][b], splats["quats"][b], splats["scales"][b],
                     splats["opacities"][b], splats["sh"][b],
@@ -462,8 +463,7 @@ def render(params, cfg: GSRendererConfig, gs_feats: jnp.ndarray,
                     W, H, render_mode="RGB+ED",
                     max_per_tile=cfg.max_per_tile,
                     max_tiles_per_gauss=cfg.max_tiles_per_gauss,
-                    impl=cfg.rasterizer_impl, quat_order="wxyz",
-                    camera_batch=True)
+                    impl=cfg.rasterizer_impl, quat_order="wxyz")
             outs.append(colors)
             alphas.append(alpha)
         rendered = jnp.stack(outs)   # (B, S, H, W, 4)

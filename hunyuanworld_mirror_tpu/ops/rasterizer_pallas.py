@@ -209,6 +209,26 @@ def _prefix_scan_lanes(x, exclusive: bool):
     return x
 
 
+def _prefix_prod_lanes(x):
+    """Inclusive prefix PRODUCT along lanes of a (P, CH) block.
+
+    Same Hillis-Steele structure as the sum scan but multiplicative — this
+    lets the transmittance update run directly on (1 - alpha) instead of
+    round-tripping through log1p/exp (2 of the 3 transcendentals per
+    (pixel, entry) in the blend loop). Underflow to 0 is exact saturation
+    (T = 0 ends the pixel), and the divisor used to derive the exclusive
+    form is >= 1 - 0.999 with masked lanes at exactly 1, so no NaN paths.
+    """
+    CH = x.shape[1]
+    col = lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    d = 1
+    while d < CH:
+        shifted = pltpu.roll(x, d, axis=1)
+        x = x * jnp.where(col >= d, shifted, 1.0)
+        d *= 2
+    return x
+
+
 def _kernel_flat(starts_ref, counts_ref, packed_hbm,
                  out_ref, alpha_ref, buf, sem, *,
                  tile_size: int, tw: int, chunk: int, max_chunks: int,
@@ -253,7 +273,7 @@ def _kernel_flat(starts_ref, counts_ref, packed_hbm,
             return (j < nch) & (jnp.min(stop) < 0.5)
 
         def body(carry):
-            j, logt, stop = carry
+            j, tcar, stop = carry
             slot = lax.rem(j, 2)
             dma(slot, j).wait()
 
@@ -277,11 +297,14 @@ def _kernel_flat(starts_ref, counts_ref, packed_hbm,
                     & (g >= start) & (g < start + count))
             alpha = jnp.where(keep, alpha, 0.0)
 
-            lg = jnp.log1p(-alpha)
-            cum_excl = _prefix_scan_lanes(lg, exclusive=True)
-            log_T_before = jnp.maximum(logt + cum_excl, NEG_INF_GUARD)
-            T_before = jnp.exp(log_T_before)
-            T_after = T_before * (1.0 - alpha)
+            # direct multiplicative transmittance: inclusive lane prefix
+            # product of (1 - alpha); exclusive form by dividing the lane's
+            # own factor back out (== the log-space cum_excl = cum_incl - lg
+            # identity, without the log1p/exp transcendentals per element)
+            one_m = 1.0 - alpha
+            prod_incl = _prefix_prod_lanes(one_m)
+            T_after = tcar * prod_incl
+            T_before = T_after / one_m
 
             tripped = ((T_after <= T_EPS) & (alpha > 0)).astype(jnp.float32)
             stopped_incl = _prefix_scan_lanes(tripped, exclusive=False)
@@ -295,13 +318,13 @@ def _kernel_flat(starts_ref, counts_ref, packed_hbm,
                 preferred_element_type=jnp.float32)      # (P, D)
             alpha_ref[0, :, 0] = alpha_ref[0, :, 0] + jnp.sum(w, axis=1)
 
-            logt = logt + jnp.sum(lg, axis=1, keepdims=True)
+            tcar = tcar * prod_incl[:, chunk - 1:chunk]
             stop = jnp.maximum(stop, jnp.minimum(
                 jnp.sum(tripped, axis=1, keepdims=True), 1.0))
-            return j + 1, logt, stop
+            return j + 1, tcar, stop
 
         jf, _, _ = lax.while_loop(cond, body, (jnp.int32(0),
-                                               jnp.zeros((P, 1), jnp.float32),
+                                               jnp.ones((P, 1), jnp.float32),
                                                jnp.zeros((P, 1), jnp.float32)))
 
         # Drain: if the loop exited early (all pixels stopped) right after
@@ -311,6 +334,16 @@ def _kernel_flat(starts_ref, counts_ref, packed_hbm,
         @pl.when(jf < nch)
         def _drain():
             dma(lax.rem(jf, 2), jf).wait()
+
+
+def _raster_chunk(default: int = 512) -> int:
+    """Blend-kernel chunk width (entries per VMEM block). WM_RASTER_CHUNK
+    overrides (multiple of 128). Smaller chunks waste fewer lanes on the
+    ceil(count/chunk) granularity of sparsely-populated tiles at the cost
+    of more DMA trips; sweep with tools/raster_chunk_ab.py."""
+    import os
+    c = int(os.environ.get("WM_RASTER_CHUNK", str(default)))
+    return max(128, (c // 128) * 128)
 
 
 def _forward_flat(packed, starts, counts, width: int, height: int,
@@ -520,9 +553,10 @@ def _kernel_flat_bwd(starts_ref, counts_ref, packed_hbm, vout_ref, va_ref,
             packed_hbm.at[:, pl.ds(blk * chunk, chunk)], buf.at[slot],
             sem.at[slot])
 
-    def chunk_math(j, logt, slot):
+    def chunk_math(j, tcar, slot):
         """Shared forward replay for one chunk: returns the per-entry
-        quantities both sweeps need. Must match _kernel_flat numerics."""
+        quantities both sweeps need. Must match _kernel_flat numerics
+        (direct multiplicative transmittance — see _prefix_prod_lanes)."""
         b = buf[slot]                     # (V, CH)
         mx, my = b[0:1, :], b[1:2, :]
         ca, cb, cc = b[2:3, :], b[3:4, :], b[4:5, :]
@@ -536,18 +570,20 @@ def _kernel_flat_bwd(starts_ref, counts_ref, packed_hbm, vout_ref, va_ref,
         keep = ((sigma >= 0) & (alpha >= ALPHA_THRESHOLD)
                 & (g_idx >= start) & (g_idx < start + count))
         alpha = jnp.where(keep, alpha, 0.0)
-        lg = jnp.log1p(-alpha)
-        cum_excl = _prefix_scan_lanes(lg, exclusive=True)
-        T_before = jnp.exp(jnp.maximum(logt + cum_excl, NEG_INF_GUARD))
-        tripped = ((T_before * (1.0 - alpha) <= T_EPS)
+        one_m = 1.0 - alpha
+        prod_incl = _prefix_prod_lanes(one_m)
+        T_after_all = tcar * prod_incl
+        T_before = T_after_all / one_m
+        carry_fac = prod_incl[:, chunk - 1:chunk]
+        tripped = ((T_after_all <= T_EPS)
                    & (alpha > 0)).astype(jnp.float32)
         col_t = b[6:6 + d_col, :]         # (D, CH)
         g = lax.dot_general(vout, col_t,
                             dimension_numbers=(((1,), (0,)), ((), ())),
                             precision=lax.Precision.HIGHEST,
                             preferred_element_type=jnp.float32) + va  # (P, CH)
-        return (b, dx, dy, sigma, alpha, keep, lg, T_before, tripped, g,
-                col_t)
+        return (b, dx, dy, sigma, alpha, keep, carry_fac, T_before, tripped,
+                g, col_t)
 
     @pl.when(nch > 0)
     def _run():
@@ -559,7 +595,7 @@ def _kernel_flat_bwd(starts_ref, counts_ref, packed_hbm, vout_ref, va_ref,
             return (j < nch) & (jnp.min(stop) < 0.5)
 
         def bodyA(c):
-            j, logt, stop, total = c
+            j, tcar, stop, total = c
             slot = lax.rem(j, 2)
             dma(slot, j).wait()
 
@@ -567,19 +603,21 @@ def _kernel_flat_bwd(starts_ref, counts_ref, packed_hbm, vout_ref, va_ref,
             def _pf():
                 dma(1 - slot, j + 1).start()
 
-            (_, _, _, _, alpha, _, lg, T_before, tripped, g,
-             _) = chunk_math(j, logt, slot)
+            (_, _, _, _, alpha, _, carry_fac, T_before, tripped, g,
+             _) = chunk_math(j, tcar, slot)
             stopped_incl = _prefix_scan_lanes(tripped, exclusive=False)
             dead = jnp.maximum(stop, jnp.minimum(stopped_incl, 1.0))
             w = alpha * T_before * (1.0 - dead)
             total = total + jnp.sum(w * g, axis=1, keepdims=True)
-            logt = logt + jnp.sum(lg, axis=1, keepdims=True)
+            tcar = tcar * carry_fac
             stop = jnp.maximum(stop, jnp.minimum(
                 jnp.sum(tripped, axis=1, keepdims=True), 1.0))
-            return j + 1, logt, stop, total
+            return j + 1, tcar, stop, total
 
         z = jnp.zeros((P, 1), jnp.float32)
-        jfA, _, _, total = lax.while_loop(condA, bodyA, (jnp.int32(0), z, z, z))
+        one = jnp.ones((P, 1), jnp.float32)
+        jfA, _, _, total = lax.while_loop(condA, bodyA,
+                                          (jnp.int32(0), one, z, z))
 
         # Drain sweep A's in-flight prefetch before sweep B reuses the same
         # buffer slots / semaphores (see the matching drain in _kernel_flat).
@@ -595,7 +633,7 @@ def _kernel_flat_bwd(starts_ref, counts_ref, packed_hbm, vout_ref, va_ref,
             return (j < nch) & (jnp.min(stop) < 0.5)
 
         def bodyB(c):
-            j, logt, stop, cum = c
+            j, tcar, stop, cum = c
             slot = lax.rem(j, 2)
             dma(slot, j).wait()
 
@@ -603,8 +641,8 @@ def _kernel_flat_bwd(starts_ref, counts_ref, packed_hbm, vout_ref, va_ref,
             def _pf():
                 dma(1 - slot, j + 1).start()
 
-            (b, dx, dy, sigma, alpha, keep, lg, T_before, tripped, g,
-             _) = chunk_math(j, logt, slot)
+            (b, dx, dy, sigma, alpha, keep, carry_fac, T_before, tripped, g,
+             _) = chunk_math(j, tcar, slot)
             stopped_incl = _prefix_scan_lanes(tripped, exclusive=False)
             dead = jnp.maximum(stop, jnp.minimum(stopped_incl, 1.0))
             live = jnp.where(keep, 1.0 - dead, 0.0)     # (P, CH)
@@ -663,12 +701,12 @@ def _kernel_flat_bwd(starts_ref, counts_ref, packed_hbm, vout_ref, va_ref,
             wr.wait()
 
             cum = incl[:, -1:]
-            logt = logt + jnp.sum(lg, axis=1, keepdims=True)
+            tcar = tcar * carry_fac
             stop = jnp.maximum(stop, jnp.minimum(
                 jnp.sum(tripped, axis=1, keepdims=True), 1.0))
-            return j + 1, logt, stop, cum
+            return j + 1, tcar, stop, cum
 
-        jfB, _, _, _ = lax.while_loop(condB, bodyB, (jnp.int32(0), z, z, z))
+        jfB, _, _, _ = lax.while_loop(condB, bodyB, (jnp.int32(0), one, z, z))
 
         @pl.when(jfB < nch)
         def _drainB():
@@ -793,7 +831,8 @@ def _flat_fwd(means2d, conics, colors, opacities, radii, depths, abs_tap,
         max_tiles_per_gauss, max_per_tile)
     img, alpha = _forward_flat(flat.packed, flat.starts, flat.counts,
                                width, height, tile_size, colors.shape[-1],
-                               max_per_tile, interpret=interpret)
+                               max_per_tile, chunk=_raster_chunk(),
+                               interpret=interpret)
     out = (img, alpha, flat.n_dropped)
     return out, (means2d, conics, colors, opacities, radii, depths)
 
