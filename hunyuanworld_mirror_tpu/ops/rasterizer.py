@@ -56,11 +56,12 @@ def _blend_tile(means2d, conics, colors, opacities, live, px_xy):
     lg = jnp.log1p(-alpha)
     cum_incl = jnp.cumsum(lg, axis=0)
     T_before = jnp.exp(cum_incl - lg)
-    one_minus = 1.0 - alpha
+    T_after = T_before * (1.0 - alpha)
 
-    tripped = (T_before * one_minus <= T_EPS) & (alpha > 0)
-    stopped = jnp.cumsum(tripped, axis=0) > 0  # inclusive: tripped one stops too
-    w = jnp.where(stopped, 0.0, alpha * T_before)  # (K, P)
+    # monotone-T early stop: T only decreases, so "an earlier entry tripped
+    # (T_after <= T_EPS)" is equivalent to this entry's own T_after <= T_EPS
+    # — no cumulative trip scan needed (matches the Pallas kernels)
+    w = jnp.where(T_after > T_EPS, alpha * T_before, 0.0)  # (K, P)
 
     out = jnp.einsum("kp,kd->pd", w, colors, precision="highest")
     return out, jnp.sum(w, axis=0)
@@ -153,9 +154,9 @@ def _blend_tile_world(means, iscl_rots, colors, opacities, live,
 
     lg = jnp.log1p(-alpha)
     T_before = jnp.exp(jnp.cumsum(lg, axis=0) - lg)
-    tripped = (T_before * (1.0 - alpha) <= T_EPS) & (alpha > 0)
-    stopped = jnp.cumsum(tripped, axis=0) > 0
-    w = jnp.where(stopped, 0.0, alpha * T_before)
+    T_after = T_before * (1.0 - alpha)
+    # monotone-T early stop (see _blend_tile)
+    w = jnp.where(T_after > T_EPS, alpha * T_before, 0.0)
 
     out = jnp.einsum("kp,kd->pd", w, colors, precision="highest")
     return out, jnp.sum(w, axis=0)
@@ -493,9 +494,9 @@ def _tile_weights(means2d, conics, opacities, live, px_xy):
     alpha = jnp.where(keep, alpha, 0.0)
     lg = jnp.log1p(-alpha)
     T_before = jnp.exp(jnp.cumsum(lg, axis=0) - lg)
-    tripped = (T_before * (1.0 - alpha) <= T_EPS) & (alpha > 0)
-    stopped = jnp.cumsum(tripped, axis=0) > 0
-    return jnp.where(stopped, 0.0, alpha * T_before)
+    T_after = T_before * (1.0 - alpha)
+    # monotone-T early stop (see _blend_tile)
+    return jnp.where(T_after > T_EPS, alpha * T_before, 0.0)
 
 
 @partial(jax.jit, static_argnames=(

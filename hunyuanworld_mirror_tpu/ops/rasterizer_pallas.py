@@ -10,11 +10,15 @@ numerics but restructures the loop for the VPU/MXU:
 
   per chunk of K splats (K x P arrays, P = tile_size^2 pixels in lanes):
     sigma/alpha          elementwise (VPU)
-    prefix log(1-alpha)  Hillis-Steele scan via pltpu.roll over sublanes
-                         (log2(K) shifted adds — NOT an O(K^2) matmul)
-    early-stop mask      prefix-OR of the trip flags, same scan
+    prefix log(1-alpha)  flat kernels: one (P, K) @ (K, K) inclusive-
+                         triangular MXU matmul (the 9-pass roll scan was
+                         >half the per-chunk VPU time); the dense kernel
+                         below keeps the Hillis-Steele roll scan
+    early-stop mask      NONE needed in the flat kernels: T is monotone
+                         non-increasing, so liveness is each entry's own
+                         T_after > T_EPS
     color accumulation   w^T @ colors on the MXU
-    carry update         logT += sum lg; stop |= any trip
+    carry update         T *= chunk's total (1-alpha) product
 
 Gradients: `rasterize_binned_pallas` wears a custom VJP whose backward
 replays the mathematically identical JAX formulation (rasterizer.py) through
@@ -194,41 +198,6 @@ def _forward_pallas(means2d, conics, colors, opacities, gauss_ids, counts,
 # pixel math, and the color contraction is dot((P,CH), (D,CH)^T) on the MXU.
 
 
-def _prefix_scan_lanes(x, exclusive: bool):
-    """Prefix sum along axis 1 (lanes) of a (P, CH) block; CH power of two."""
-    CH = x.shape[1]
-    col = lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    if exclusive:
-        shifted = pltpu.roll(x, 1, axis=1)
-        x = jnp.where(col >= 1, shifted, 0.0)
-    d = 1
-    while d < CH:
-        shifted = pltpu.roll(x, d, axis=1)
-        x = x + jnp.where(col >= d, shifted, 0.0)
-        d *= 2
-    return x
-
-
-def _prefix_prod_lanes(x):
-    """Inclusive prefix PRODUCT along lanes of a (P, CH) block.
-
-    Same Hillis-Steele structure as the sum scan but multiplicative — this
-    lets the transmittance update run directly on (1 - alpha) instead of
-    round-tripping through log1p/exp (2 of the 3 transcendentals per
-    (pixel, entry) in the blend loop). Underflow to 0 is exact saturation
-    (T = 0 ends the pixel), and the divisor used to derive the exclusive
-    form is >= 1 - 0.999 with masked lanes at exactly 1, so no NaN paths.
-    """
-    CH = x.shape[1]
-    col = lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    d = 1
-    while d < CH:
-        shifted = pltpu.roll(x, d, axis=1)
-        x = x * jnp.where(col >= d, shifted, 1.0)
-        d *= 2
-    return x
-
-
 def _kernel_flat(starts_ref, counts_ref, packed_hbm,
                  out_ref, alpha_ref, buf, sem, *,
                  tile_size: int, tw: int, chunk: int, max_chunks: int,
@@ -268,12 +237,13 @@ def _kernel_flat(starts_ref, counts_ref, packed_hbm,
     def _run():
         dma(0, 0).start()
 
-        def cond(carry):
-            j, _, stop = carry
-            return (j < nch) & (jnp.min(stop) < 0.5)
+        # inclusive-prefix triangular ones (CH, CH): tri[j, i] = [j <= i]
+        _r = lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+        _c = lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
+        tri_incl = (_r <= _c).astype(jnp.float32)
 
         def body(carry):
-            j, tcar, stop = carry
+            j, tcar = carry
             slot = lax.rem(j, 2)
             dma(slot, j).wait()
 
@@ -297,19 +267,25 @@ def _kernel_flat(starts_ref, counts_ref, packed_hbm,
                     & (g >= start) & (g < start + count))
             alpha = jnp.where(keep, alpha, 0.0)
 
-            # direct multiplicative transmittance: inclusive lane prefix
-            # product of (1 - alpha); exclusive form by dividing the lane's
-            # own factor back out (== the log-space cum_excl = cum_incl - lg
-            # identity, without the log1p/exp transcendentals per element)
+            # transmittance via MXU-cumsum: the lane prefix sum of
+            # log1p(-alpha) is a (P, CH) @ (CH, CH) inclusive-triangular
+            # matmul — one MXU dot replaces the 9-pass Hillis-Steele roll
+            # scan (the scans were >half the per-chunk VPU time). Early stop
+            # needs NO second scan: T is monotone non-increasing, so "some
+            # earlier entry tripped (T_after <= T_EPS)" collapses to this
+            # entry's own T_after <= T_EPS — the tripping entry itself is
+            # excluded exactly like the CUDA kernel's break-before-blend
+            # (RasterizeToPixels3DGSFwd.cu).
             one_m = 1.0 - alpha
-            prod_incl = _prefix_prod_lanes(one_m)
+            lg = jnp.log(one_m)
+            cum_incl = lax.dot_general(
+                lg, tri_incl, dimension_numbers=(((1,), (0,)), ((), ())),
+                precision=lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)    # (P, CH)
+            prod_incl = jnp.exp(cum_incl)
             T_after = tcar * prod_incl
             T_before = T_after / one_m
-
-            tripped = ((T_after <= T_EPS) & (alpha > 0)).astype(jnp.float32)
-            stopped_incl = _prefix_scan_lanes(tripped, exclusive=False)
-            dead = jnp.maximum(stop, jnp.minimum(stopped_incl, 1.0))
-            w = alpha * T_before * (1.0 - dead)   # (P, CH)
+            w = alpha * T_before * (T_after > T_EPS)   # (P, CH)
 
             col_t = b[6:6 + d_col, :]             # (D, CH)
             out_ref[0, :, :] = out_ref[0, :, :] + lax.dot_general(
@@ -319,13 +295,14 @@ def _kernel_flat(starts_ref, counts_ref, packed_hbm,
             alpha_ref[0, :, 0] = alpha_ref[0, :, 0] + jnp.sum(w, axis=1)
 
             tcar = tcar * prod_incl[:, chunk - 1:chunk]
-            stop = jnp.maximum(stop, jnp.minimum(
-                jnp.sum(tripped, axis=1, keepdims=True), 1.0))
-            return j + 1, tcar, stop
+            return j + 1, tcar
 
-        jf, _, _ = lax.while_loop(cond, body, (jnp.int32(0),
-                                               jnp.ones((P, 1), jnp.float32),
-                                               jnp.zeros((P, 1), jnp.float32)))
+        def cond(carry):
+            j, tcar = carry
+            return (j < nch) & (jnp.max(tcar) > T_EPS)
+
+        jf, _ = lax.while_loop(cond, body, (jnp.int32(0),
+                                            jnp.ones((P, 1), jnp.float32)))
 
         # Drain: if the loop exited early (all pixels stopped) right after
         # prefetching chunk jf, that DMA is still in flight — wait it here so
@@ -334,6 +311,201 @@ def _kernel_flat(starts_ref, counts_ref, packed_hbm,
         @pl.when(jf < nch)
         def _drain():
             dma(lax.rem(jf, 2), jf).wait()
+
+
+def _kernel_flat_grouped(starts_ref, counts_ref, wbase_ref, packed_hbm,
+                         out_ref, alpha_ref, buf, sem, *,
+                         tile_size: int, tw: int, chunk: int, G: int,
+                         Wc: int, d_col: int, M: int, n_groups: int):
+    """G tiles per grid step, ONE windowed DMA per step.
+
+    Round-3 measurement: the single-tile flat kernel runs ~35 us per tile
+    program at full load (~9 us grid-step machinery + ~11 us DMA-latency per
+    512-entry chunk that the double buffer cannot hide because chunk compute
+    is shorter than DMA latency). Grouping G consecutive tiles amortizes the
+    step overhead AND replaces ~G*2.3 small chunk copies with one Wc*chunk
+    window copy (consecutive tiles are CONTIGUOUS in the sorted flat list),
+    double-buffered across grid steps so the copy overlaps the previous
+    group's compute. Window overflow (pathological tile saturation) is
+    pre-clamped host-side by _group_windows into counts + n_dropped.
+    """
+    q = pl.program_id(0)
+    P = tile_size * tile_size
+    W = Wc * chunk
+
+    def dma(slot, grp):
+        g = jnp.minimum(grp, n_groups - 1)
+        return pltpu.make_async_copy(
+            packed_hbm.at[:, pl.ds(wbase_ref[g] // chunk * chunk, W)],
+            buf.at[slot], sem.at[slot])
+
+    @pl.when(q == 0)
+    def _first():
+        dma(0, 0).start()
+
+    slot = lax.rem(q, 2)
+    dma(slot, q).wait()
+
+    @pl.when(q + 1 < n_groups)
+    def _prefetch():
+        dma(1 - slot, q + 1).start()
+
+    out_ref[...] = jnp.zeros_like(out_ref)
+    alpha_ref[...] = jnp.zeros_like(alpha_ref)
+
+    base = wbase_ref[q]
+
+    _r = lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+    _c = lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
+    tri_incl = (_r <= _c).astype(jnp.float32)
+    pix = lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+
+    for g in range(G):                                # python-unrolled
+        t = q * G + g
+        start = starts_ref[t]
+        count = counts_ref[t]                         # window-clamped
+        off = start - base                            # in [0, W)
+        j0 = off // chunk
+        nch = jnp.minimum((off - j0 * chunk + count + chunk - 1) // chunk,
+                          Wc)
+
+        origin_x = (t % tw) * tile_size
+        origin_y = (t // tw) * tile_size
+        px = (origin_x + pix % tile_size).astype(jnp.float32) + 0.5
+        py = (origin_y + pix // tile_size).astype(jnp.float32) + 0.5
+
+        def body(carry, g=g, start=start, count=count, j0=j0, px=px, py=py):
+            j, tcar = carry
+            blk = jnp.minimum(j0 + j, Wc - 1)
+            b = buf[slot, :, pl.ds(blk * chunk, chunk)]  # (V, CH) VMEM slice
+            mx, my = b[0:1, :], b[1:2, :]
+            ca, cb, cc = b[2:3, :], b[3:4, :], b[4:5, :]
+            op = b[5:6, :]
+
+            dx = px - mx
+            dy = py - my
+            sigma = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
+            alpha = jnp.minimum(0.999, op * jnp.exp(-sigma))
+
+            e = base + blk * chunk + lax.broadcasted_iota(
+                jnp.int32, (1, chunk), 1)
+            keep = ((sigma >= 0) & (alpha >= ALPHA_THRESHOLD)
+                    & (e >= start) & (e < start + count))
+            alpha = jnp.where(keep, alpha, 0.0)
+
+            one_m = 1.0 - alpha
+            lg = jnp.log(one_m)
+            cum_incl = lax.dot_general(
+                lg, tri_incl, dimension_numbers=(((1,), (0,)), ((), ())),
+                precision=lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
+            prod_incl = jnp.exp(cum_incl)
+            T_after = tcar * prod_incl
+            T_before = T_after / one_m
+            w = alpha * T_before * (T_after > T_EPS)
+
+            col_t = b[6:6 + d_col, :]
+            out_ref[g, :, :] = out_ref[g, :, :] + lax.dot_general(
+                w, col_t, dimension_numbers=(((1,), (1,)), ((), ())),
+                precision=lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
+            alpha_ref[g, :, 0] = alpha_ref[g, :, 0] + jnp.sum(w, axis=1)
+            tcar = tcar * prod_incl[:, chunk - 1:chunk]
+            return j + 1, tcar
+
+        def cond(carry, nch=nch):
+            j, tcar = carry
+            return (j < nch) & (jnp.max(tcar) > T_EPS)
+
+        lax.while_loop(cond, body, (jnp.int32(0),
+                                    jnp.ones((P, 1), jnp.float32)))
+
+
+def _group_windows(starts, counts, n_tiles: int, G: int, chunk: int, Wc: int,
+                   M: int):
+    """Host-side window layout for the grouped kernel.
+
+    Pads starts/counts to a G multiple, computes each group's chunk-aligned
+    window base, and clamps counts so no tile reads past its group's static
+    window (overflow only under pathological saturation; the clamped tail
+    is the furthest splats of the saturated tiles — same semantics as the
+    max_per_tile cap). Returns (starts_p, counts_p, wbase, extra_dropped).
+    """
+    n_groups = -(-n_tiles // G)
+    pad = n_groups * G - n_tiles
+    if pad:
+        starts = jnp.concatenate(
+            [starts, jnp.full((pad,), M, jnp.int32)])
+        counts = jnp.concatenate([counts, jnp.zeros((pad,), jnp.int32)])
+    wbase = (starts[::G] // chunk) * chunk             # (n_groups,)
+    wbase = jnp.minimum(wbase, max(M - Wc * chunk, 0))
+    wend = wbase + Wc * chunk
+    wend_t = jnp.repeat(wend, G)
+    counts_w = jnp.clip(wend_t - starts, 0, counts)
+    # tiles starting beyond their window (only after an overflow) read base
+    starts_p = jnp.clip(starts, jnp.repeat(wbase, G), wend_t)
+    extra_dropped = jnp.sum(counts - counts_w)
+    return starts_p, counts_w, wbase, extra_dropped.astype(jnp.int32)
+
+
+def _forward_flat_grouped(packed, starts, counts, width: int, height: int,
+                          tile_size: int, d_col: int, max_per_tile: int,
+                          chunk: int = 512, G: int = 4,
+                          interpret: bool = False):
+    """Grouped-window forward over the flat sorted list (see kernel note)."""
+    tw = (width + tile_size - 1) // tile_size
+    th = (height + tile_size - 1) // tile_size
+    n_tiles = tw * th
+    n_groups = -(-n_tiles // G)
+    P = tile_size * tile_size
+    V, M = packed.shape
+    pad_v = (-V) % 8
+    # window spans G tiles' caps + alignment slack
+    Wc = G * (-(-max_per_tile // chunk)) + 1
+    pad_m = (-M) % chunk + max(0, Wc * chunk - M)
+    if pad_v or pad_m:
+        packed = jnp.pad(packed, ((0, pad_v), (0, pad_m)))
+        V, M = packed.shape
+
+    starts_p, counts_w, wbase, extra_dropped = _group_windows(
+        starts, counts, n_tiles, G, chunk, Wc, M)
+
+    kernel = functools.partial(
+        _kernel_flat_grouped, tile_size=tile_size, tw=tw, chunk=chunk,
+        G=G, Wc=Wc, d_col=d_col, M=M, n_groups=n_groups)
+
+    out, alpha = pl.pallas_call(
+        kernel,
+        grid=(n_groups,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # starts
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # counts (clamped)
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # window bases
+            pl.BlockSpec(memory_space=pl.ANY),       # packed in HBM
+        ],
+        out_specs=[
+            pl.BlockSpec((G, P, d_col), lambda q: (q, 0, 0)),
+            pl.BlockSpec((G, P, 1), lambda q: (q, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_groups * G, P, d_col), jnp.float32),
+            jax.ShapeDtypeStruct((n_groups * G, P, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, V, Wc * chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(starts_p, counts_w, wbase, packed)
+
+    out = out[:n_tiles]
+    alpha = alpha[:n_tiles]
+    img = out.reshape(th, tw, tile_size, tile_size, d_col)
+    img = img.transpose(0, 2, 1, 3, 4).reshape(
+        th * tile_size, tw * tile_size, d_col)
+    a = alpha.reshape(th, tw, tile_size, tile_size)
+    a = a.transpose(0, 2, 1, 3).reshape(th * tile_size, tw * tile_size)
+    return img[:height, :width], a[:height, :width, None], extra_dropped
 
 
 def _raster_chunk(default: int = 512) -> int:
@@ -547,6 +719,11 @@ def _kernel_flat_bwd(starts_ref, counts_ref, packed_hbm, vout_ref, va_ref,
     vout = vout_ref[0]      # (P, D)
     va = va_ref[0]          # (P, 1)
 
+    # inclusive-prefix triangular ones for the MXU cumsum (see _kernel_flat)
+    _r = lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+    _c = lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
+    tri_incl = (_r <= _c).astype(jnp.float32)
+
     def dma(slot, j):
         blk = jnp.minimum(b0 + j, n_blocks - 1)
         return pltpu.make_async_copy(
@@ -556,7 +733,7 @@ def _kernel_flat_bwd(starts_ref, counts_ref, packed_hbm, vout_ref, va_ref,
     def chunk_math(j, tcar, slot):
         """Shared forward replay for one chunk: returns the per-entry
         quantities both sweeps need. Must match _kernel_flat numerics
-        (direct multiplicative transmittance — see _prefix_prod_lanes)."""
+        (MXU-cumsum transmittance — see _kernel_flat)."""
         b = buf[slot]                     # (V, CH)
         mx, my = b[0:1, :], b[1:2, :]
         ca, cb, cc = b[2:3, :], b[3:4, :], b[4:5, :]
@@ -570,19 +747,25 @@ def _kernel_flat_bwd(starts_ref, counts_ref, packed_hbm, vout_ref, va_ref,
         keep = ((sigma >= 0) & (alpha >= ALPHA_THRESHOLD)
                 & (g_idx >= start) & (g_idx < start + count))
         alpha = jnp.where(keep, alpha, 0.0)
+        # MXU-cumsum transmittance + monotone-T early stop: must match
+        # _kernel_flat numerics exactly (see its note)
         one_m = 1.0 - alpha
-        prod_incl = _prefix_prod_lanes(one_m)
+        lg = jnp.log(one_m)
+        cum_incl = lax.dot_general(
+            lg, tri_incl, dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+        prod_incl = jnp.exp(cum_incl)
         T_after_all = tcar * prod_incl
         T_before = T_after_all / one_m
         carry_fac = prod_incl[:, chunk - 1:chunk]
-        tripped = ((T_after_all <= T_EPS)
-                   & (alpha > 0)).astype(jnp.float32)
+        live_t = (T_after_all > T_EPS).astype(jnp.float32)
         col_t = b[6:6 + d_col, :]         # (D, CH)
         g = lax.dot_general(vout, col_t,
                             dimension_numbers=(((1,), (0,)), ((), ())),
                             precision=lax.Precision.HIGHEST,
                             preferred_element_type=jnp.float32) + va  # (P, CH)
-        return (b, dx, dy, sigma, alpha, keep, carry_fac, T_before, tripped,
+        return (b, dx, dy, sigma, alpha, keep, carry_fac, T_before, live_t,
                 g, col_t)
 
     @pl.when(nch > 0)
@@ -591,11 +774,11 @@ def _kernel_flat_bwd(starts_ref, counts_ref, packed_hbm, vout_ref, va_ref,
         dma(0, 0).start()
 
         def condA(c):
-            j, _, stop, _ = c
-            return (j < nch) & (jnp.min(stop) < 0.5)
+            j, tcar, _ = c
+            return (j < nch) & (jnp.max(tcar) > T_EPS)
 
         def bodyA(c):
-            j, tcar, stop, total = c
+            j, tcar, total = c
             slot = lax.rem(j, 2)
             dma(slot, j).wait()
 
@@ -603,21 +786,16 @@ def _kernel_flat_bwd(starts_ref, counts_ref, packed_hbm, vout_ref, va_ref,
             def _pf():
                 dma(1 - slot, j + 1).start()
 
-            (_, _, _, _, alpha, _, carry_fac, T_before, tripped, g,
+            (_, _, _, _, alpha, _, carry_fac, T_before, live_t, g,
              _) = chunk_math(j, tcar, slot)
-            stopped_incl = _prefix_scan_lanes(tripped, exclusive=False)
-            dead = jnp.maximum(stop, jnp.minimum(stopped_incl, 1.0))
-            w = alpha * T_before * (1.0 - dead)
+            w = alpha * T_before * live_t
             total = total + jnp.sum(w * g, axis=1, keepdims=True)
             tcar = tcar * carry_fac
-            stop = jnp.maximum(stop, jnp.minimum(
-                jnp.sum(tripped, axis=1, keepdims=True), 1.0))
-            return j + 1, tcar, stop, total
+            return j + 1, tcar, total
 
         z = jnp.zeros((P, 1), jnp.float32)
         one = jnp.ones((P, 1), jnp.float32)
-        jfA, _, _, total = lax.while_loop(condA, bodyA,
-                                          (jnp.int32(0), one, z, z))
+        jfA, _, total = lax.while_loop(condA, bodyA, (jnp.int32(0), one, z))
 
         # Drain sweep A's in-flight prefetch before sweep B reuses the same
         # buffer slots / semaphores (see the matching drain in _kernel_flat).
@@ -629,11 +807,11 @@ def _kernel_flat_bwd(starts_ref, counts_ref, packed_hbm, vout_ref, va_ref,
         dma(0, 0).start()
 
         def condB(c):
-            j, _, stop, _ = c
-            return (j < nch) & (jnp.min(stop) < 0.5)
+            j, tcar, _ = c
+            return (j < nch) & (jnp.max(tcar) > T_EPS)
 
         def bodyB(c):
-            j, tcar, stop, cum = c
+            j, tcar, cum = c
             slot = lax.rem(j, 2)
             dma(slot, j).wait()
 
@@ -641,15 +819,16 @@ def _kernel_flat_bwd(starts_ref, counts_ref, packed_hbm, vout_ref, va_ref,
             def _pf():
                 dma(1 - slot, j + 1).start()
 
-            (b, dx, dy, sigma, alpha, keep, carry_fac, T_before, tripped, g,
+            (b, dx, dy, sigma, alpha, keep, carry_fac, T_before, live_t, g,
              _) = chunk_math(j, tcar, slot)
-            stopped_incl = _prefix_scan_lanes(tripped, exclusive=False)
-            dead = jnp.maximum(stop, jnp.minimum(stopped_incl, 1.0))
-            live = jnp.where(keep, 1.0 - dead, 0.0)     # (P, CH)
+            live = jnp.where(keep, live_t, 0.0)         # (P, CH)
             w = alpha * T_before * live
 
             wg = w * g
-            incl = cum + _prefix_scan_lanes(wg, exclusive=False)
+            incl = cum + lax.dot_general(
+                wg, tri_incl, dimension_numbers=(((1,), (0,)), ((), ())),
+                precision=lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)  # MXU prefix sum
             S_after = total - incl
             # 1 - alpha >= 1e-3 by the 0.999 clamp
             dalpha = (T_before * g - S_after / jnp.maximum(1.0 - alpha, 1e-3)
@@ -702,11 +881,9 @@ def _kernel_flat_bwd(starts_ref, counts_ref, packed_hbm, vout_ref, va_ref,
 
             cum = incl[:, -1:]
             tcar = tcar * carry_fac
-            stop = jnp.maximum(stop, jnp.minimum(
-                jnp.sum(tripped, axis=1, keepdims=True), 1.0))
-            return j + 1, tcar, stop, cum
+            return j + 1, tcar, cum
 
-        jfB, _, _, _ = lax.while_loop(condB, bodyB, (jnp.int32(0), one, z, z))
+        jfB, _, _ = lax.while_loop(condB, bodyB, (jnp.int32(0), one, z))
 
         @pl.when(jfB < nch)
         def _drainB():
@@ -829,11 +1006,20 @@ def _flat_fwd(means2d, conics, colors, opacities, radii, depths, abs_tap,
     flat = tiles.bin_gaussians_packed(
         means2d, radii, depths, values, tile_size, tw, th,
         max_tiles_per_gauss, max_per_tile)
-    img, alpha = _forward_flat(flat.packed, flat.starts, flat.counts,
-                               width, height, tile_size, colors.shape[-1],
-                               max_per_tile, chunk=_raster_chunk(),
-                               interpret=interpret)
-    out = (img, alpha, flat.n_dropped)
+    import os
+    G = int(os.environ.get("WM_RASTER_GROUP", "4"))
+    if G > 1:
+        img, alpha, extra = _forward_flat_grouped(
+            flat.packed, flat.starts, flat.counts, width, height, tile_size,
+            colors.shape[-1], max_per_tile, chunk=_raster_chunk(), G=G,
+            interpret=interpret)
+        out = (img, alpha, flat.n_dropped + extra)
+    else:
+        img, alpha = _forward_flat(flat.packed, flat.starts, flat.counts,
+                                   width, height, tile_size, colors.shape[-1],
+                                   max_per_tile, chunk=_raster_chunk(),
+                                   interpret=interpret)
+        out = (img, alpha, flat.n_dropped)
     return out, (means2d, conics, colors, opacities, radii, depths)
 
 
