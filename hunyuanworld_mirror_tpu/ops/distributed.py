@@ -99,7 +99,14 @@ def _render_local_cameras(m2d, con, dep, rad, col, op, width, height,
         return rasterize_binned_jax(m2d, con, col, op, bins,
                                     width, height, tile_size)
 
-    out, alpha = lax.map(per_cam, (m2d, con, dep, rad, col, op))
+    C_loc = m2d.shape[0]
+    if C_loc <= 16:  # static unroll beats lax.map on TPU (ops/rasterizer.py)
+        outs = [per_cam((m2d[c], con[c], dep[c], rad[c], col[c], op[c]))
+                for c in range(C_loc)]
+        out = jnp.stack([o[0] for o in outs])
+        alpha = jnp.stack([o[1] for o in outs])
+    else:
+        out, alpha = lax.map(per_cam, (m2d, con, dep, rad, col, op))
     if render_mode in ("ED", "RGB+ED"):
         out = jnp.concatenate(
             [out[..., :-1], out[..., -1:] / jnp.maximum(alpha, 1e-10)], -1)

@@ -318,7 +318,15 @@ def rasterize_2dgs(
                           rc if radial_coeffs is not None else None,
                           tc if tangential_coeffs is not None else None)
 
-    out, alphas = lax.map(percam_args, (viewmats, Ks, rad_all, tang_all))
+    # static unroll beats lax.map ~4x on TPU for small C (scan carries copy
+    # the multi-MB sorted lists across iterations — see ops/rasterizer.py)
+    if C <= 16:
+        outs = [percam_args((viewmats[c], Ks[c], rad_all[c], tang_all[c]))
+                for c in range(C)]
+        out = jnp.stack([o[0] for o in outs])
+        alphas = jnp.stack([o[1] for o in outs])
+    else:
+        out, alphas = lax.map(percam_args, (viewmats, Ks, rad_all, tang_all))
     render_normals = out[..., -3:]
     out = out[..., :-3]
     if render_mode in ("ED", "RGB+ED"):
@@ -410,4 +418,8 @@ def rasterize_to_indices_2dgs(
                           rc if radial_coeffs is not None else None,
                           tc if tangential_coeffs is not None else None)
 
+    if C <= 16:  # see unroll note above
+        outs = [percam_args((viewmats[c], Ks[c], rad_all[c], tang_all[c]))
+                for c in range(C)]
+        return tuple(jnp.stack([o[i] for o in outs]) for i in range(2))
     return lax.map(percam_args, (viewmats, Ks, rad_all, tang_all))

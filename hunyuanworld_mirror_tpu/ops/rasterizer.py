@@ -466,8 +466,22 @@ def rasterize(
         return out, alpha, n_drop, rad, m2d, dep
 
     cam_args = (viewmats, Ks, radial_coeffs, tangential_coeffs, viewmats_rs)
-    (render_colors, render_alphas, n_dropped, radii_all, means2d_all,
-     depths_all) = lax.map(per_camera, cam_args)
+    C = viewmats.shape[0]
+    # Static python unroll beats lax.map by ~4x on TPU (round-3 isolation:
+    # 161.6 ms -> 39.3 ms for the identical 4-camera pipeline at 537k
+    # splats — scan carries force cross-iteration buffer copies of the
+    # multi-MB sorted intersection lists). lax.map stays for long camera
+    # lists where C unrolled copies would blow compile time.
+    import os
+    unroll_max = int(os.environ.get("WM_RASTER_UNROLL", "16"))
+    if C <= unroll_max:
+        outs = [per_camera(tuple(None if a is None else a[c]
+                                 for a in cam_args)) for c in range(C)]
+        (render_colors, render_alphas, n_dropped, radii_all, means2d_all,
+         depths_all) = (jnp.stack([o[i] for o in outs]) for i in range(6))
+    else:
+        (render_colors, render_alphas, n_dropped, radii_all, means2d_all,
+         depths_all) = lax.map(per_camera, cam_args)
 
     if render_mode in ("ED", "RGB+ED"):
         render_colors = jnp.concatenate([
@@ -562,4 +576,8 @@ def rasterize_to_indices(
             th * tile_size, tw * tile_size, k)[:height, :width]
         return ids_img, w_img
 
+    C = viewmats.shape[0]
+    if C <= 16:  # static unroll beats lax.map on TPU (see rasterize note)
+        outs = [per_camera(viewmats[c], Ks[c]) for c in range(C)]
+        return tuple(jnp.stack([o[i] for o in outs]) for i in range(2))
     return lax.map(lambda args: per_camera(*args), (viewmats, Ks))
