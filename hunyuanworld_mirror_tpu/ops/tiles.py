@@ -118,14 +118,16 @@ def _isect_keys(means2d, radii, depths, tile_size, tile_width, tile_height,
 
 
 def _searchsorted_2level(sorted_keys: jnp.ndarray, queries: jnp.ndarray,
-                         block: int = 512) -> jnp.ndarray:
+                         block: int = 128) -> jnp.ndarray:
     """side='left' searchsorted specialized for few queries over a huge array.
 
     jnp.searchsorted lowers to a while-loop of dynamic gathers — measured
     ~29 ms for 1k queries over 4.3M keys on v5e. Two-level counting is ~100x
     cheaper: block strided samples give each query's candidate block
     (Q x M/block dense compares, vectorized), then one (Q, block) gather +
-    compare resolves the position within the block.
+    compare resolves the position within the block. The (Q, block) window
+    gather dominates (round-3 xprof: ~4 ms/camera at Q=1124/block=512), so
+    the default block is small; head compares are dense and cheap.
     """
     M = sorted_keys.shape[0]
     pad = (-M) % block
