@@ -63,6 +63,9 @@ class GSRendererConfig:
     max_per_tile: int = 4096
     max_tiles_per_gauss: int = 4
     rasterizer_impl: str = "jax"
+    # f16-packed isect-sort payload on the pallas path (inference speed
+    # knob, ~1e-3 render delta; see ops/rasterizer.py payload_f16)
+    payload_f16: bool = True
 
     @property
     def nums_sh(self) -> int:
@@ -456,6 +459,8 @@ def render(params, cfg: GSRendererConfig, gs_feats: jnp.ndarray,
                 # 162 ms) — sorts turned out to be a few ms (the 40-56 ms
                 # per-call readings were relay readback floor), so batching
                 # them buys nothing while the bigger packed array costs.
+                # payload_f16: inference keeps the isect-sort payload in
+                # f16 pairs (sort 18.4 -> ~11 ms/cam; ~1e-3 render delta)
                 colors, alpha, _ = rasterizer.rasterize(
                     splats["means"][b], splats["quats"][b], splats["scales"][b],
                     splats["opacities"][b], splats["sh"][b],
@@ -463,7 +468,8 @@ def render(params, cfg: GSRendererConfig, gs_feats: jnp.ndarray,
                     W, H, render_mode="RGB+ED",
                     max_per_tile=cfg.max_per_tile,
                     max_tiles_per_gauss=cfg.max_tiles_per_gauss,
-                    impl=cfg.rasterizer_impl, quat_order="wxyz")
+                    impl=cfg.rasterizer_impl, quat_order="wxyz",
+                    payload_f16=cfg.payload_f16)
             outs.append(colors)
             alphas.append(alpha)
         rendered = jnp.stack(outs)   # (B, S, H, W, 4)

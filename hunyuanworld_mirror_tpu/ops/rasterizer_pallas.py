@@ -198,10 +198,69 @@ def _forward_pallas(means2d, conics, colors, opacities, gauss_ids, counts,
 # pixel math, and the color contraction is dot((P,CH), (D,CH)^T) on the MXU.
 
 
+# --- f16-packed payload (inference fast path) ------------------------------
+#
+# The isect sort's cost is ~linear in operand count (measured 18.4 ms at 12
+# operands vs 8.4 ms at 7, 2.15M rows, v5e). The inference path packs the 8
+# precision-tolerant payload planes (conics, opacity, rgb, depth) into 4 i32
+# planes of f16 pairs; means2d stays f32 (f16 would cost 0.25-0.5 px at
+# 518px). Mosaic has no f16 vregs, so the kernel decodes f16 bits manually:
+# f32 bits = sign<<31 | (e+112)<<23 | m<<13 (subnormals flushed — payload
+# magnitudes are >= 6e-5 where it matters), then one same-width i32->f32
+# bitcast. Training paths keep the exact f32 payload.
+
+def pack_f16_pairs(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Two f32 planes -> one f32 plane whose BITS are (f16(a) << 16)|f16(b)."""
+    ah = a.astype(jnp.float16).view(jnp.uint16).astype(jnp.uint32)
+    bh = b.astype(jnp.float16).view(jnp.uint16).astype(jnp.uint32)
+    return ((ah << 16) | bh).view(jnp.float32)
+
+
+def _f16_bits_to_f32(h):
+    """(u32 with f16 bits in the low 16) -> f32 value, flush-subnormal."""
+    s = (h & jnp.uint32(0x8000)) << jnp.uint32(16)
+    e = (h >> jnp.uint32(10)) & jnp.uint32(0x1F)
+    m = h & jnp.uint32(0x3FF)
+    mag = jnp.where(e == 0, jnp.uint32(0),
+                    ((e + jnp.uint32(112)) << jnp.uint32(23))
+                    | (m << jnp.uint32(13)))
+    return lax.bitcast_convert_type((s | mag).astype(jnp.int32), jnp.float32)
+
+
+def _unpack_f16_row(row_f32):
+    """One packed (1, CH) f32 row -> two (1, CH) f32 rows (hi, lo)."""
+    u = lax.bitcast_convert_type(row_f32, jnp.int32).astype(jnp.uint32)
+    hi = _f16_bits_to_f32(u >> jnp.uint32(16))
+    lo = _f16_bits_to_f32(u & jnp.uint32(0xFFFF))
+    return hi, lo
+
+
+def _payload_rows(b, d_col: int, f16: bool):
+    """Decode one staged payload block (V, CH) into its component rows.
+
+    f32 layout: [mx, my, ca, cb, cc, op, col_0..col_{D-1}]
+    f16 layout: [mx, my, ca|cb, cc|op, col pairs...] (pack_f16_pairs)
+    Returns (mx, my, ca, cb, cc, op, col_t (D, CH)).
+    """
+    if not f16:
+        return (b[0:1, :], b[1:2, :], b[2:3, :], b[3:4, :], b[4:5, :],
+                b[5:6, :], b[6:6 + d_col, :])
+    mx, my = b[0:1, :], b[1:2, :]
+    ca, cb = _unpack_f16_row(b[2:3, :])
+    cc, op = _unpack_f16_row(b[3:4, :])
+    cols = []
+    for j in range(-(-d_col // 2)):
+        hi, lo = _unpack_f16_row(b[4 + j:5 + j, :])
+        cols.extend((hi, lo))
+    col_t = jnp.concatenate(cols[:d_col], axis=0)
+    return mx, my, ca, cb, cc, op, col_t
+
+
 def _kernel_flat(starts_ref, counts_ref, packed_hbm,
                  out_ref, alpha_ref, buf, sem, *,
                  tile_size: int, tw: int, chunk: int, max_chunks: int,
-                 d_col: int, M: int, n_tiles: int = 0):
+                 d_col: int, M: int, n_tiles: int = 0,
+                 f16_payload: bool = False):
     t = pl.program_id(0)
     P = tile_size * tile_size
 
@@ -252,9 +311,8 @@ def _kernel_flat(starts_ref, counts_ref, packed_hbm,
                 dma(1 - slot, j + 1).start()
 
             b = buf[slot]                     # (V, CH)
-            mx, my = b[0:1, :], b[1:2, :]     # (1, CH)
-            ca, cb, cc = b[2:3, :], b[3:4, :], b[4:5, :]
-            op = b[5:6, :]
+            mx, my, ca, cb, cc, op, col_t = _payload_rows(
+                b, d_col, f16_payload)
 
             dx = px - mx                      # (P, CH)
             dy = py - my
@@ -287,7 +345,6 @@ def _kernel_flat(starts_ref, counts_ref, packed_hbm,
             T_before = T_after / one_m
             w = alpha * T_before * (T_after > T_EPS)   # (P, CH)
 
-            col_t = b[6:6 + d_col, :]             # (D, CH)
             out_ref[0, :, :] = out_ref[0, :, :] + lax.dot_general(
                 w, col_t, dimension_numbers=(((1,), (1,)), ((), ())),
                 precision=lax.Precision.HIGHEST,
@@ -316,7 +373,8 @@ def _kernel_flat(starts_ref, counts_ref, packed_hbm,
 def _kernel_flat_grouped(starts_ref, counts_ref, wbase_ref, packed_hbm,
                          out_ref, alpha_ref, buf, sem, *,
                          tile_size: int, tw: int, chunk: int, G: int,
-                         Wc: int, d_col: int, M: int, n_groups: int):
+                         Wc: int, d_col: int, M: int, n_groups: int,
+                         f16_payload: bool = False):
     """G tiles per grid step, ONE windowed DMA per step.
 
     Round-3 measurement: the single-tile flat kernel runs ~35 us per tile
@@ -378,9 +436,8 @@ def _kernel_flat_grouped(starts_ref, counts_ref, wbase_ref, packed_hbm,
             j, tcar = carry
             blk = jnp.minimum(j0 + j, Wc - 1)
             b = buf[slot, :, pl.ds(blk * chunk, chunk)]  # (V, CH) VMEM slice
-            mx, my = b[0:1, :], b[1:2, :]
-            ca, cb, cc = b[2:3, :], b[3:4, :], b[4:5, :]
-            op = b[5:6, :]
+            mx, my, ca, cb, cc, op, col_t = _payload_rows(
+                b, d_col, f16_payload)
 
             dx = px - mx
             dy = py - my
@@ -404,7 +461,6 @@ def _kernel_flat_grouped(starts_ref, counts_ref, wbase_ref, packed_hbm,
             T_before = T_after / one_m
             w = alpha * T_before * (T_after > T_EPS)
 
-            col_t = b[6:6 + d_col, :]
             out_ref[g, :, :] = out_ref[g, :, :] + lax.dot_general(
                 w, col_t, dimension_numbers=(((1,), (1,)), ((), ())),
                 precision=lax.Precision.HIGHEST,
@@ -451,7 +507,8 @@ def _group_windows(starts, counts, n_tiles: int, G: int, chunk: int, Wc: int,
 def _forward_flat_grouped(packed, starts, counts, width: int, height: int,
                           tile_size: int, d_col: int, max_per_tile: int,
                           chunk: int = 512, G: int = 4,
-                          interpret: bool = False):
+                          interpret: bool = False,
+                          f16_payload: bool = False):
     """Grouped-window forward over the flat sorted list (see kernel note)."""
     tw = (width + tile_size - 1) // tile_size
     th = (height + tile_size - 1) // tile_size
@@ -472,7 +529,8 @@ def _forward_flat_grouped(packed, starts, counts, width: int, height: int,
 
     kernel = functools.partial(
         _kernel_flat_grouped, tile_size=tile_size, tw=tw, chunk=chunk,
-        G=G, Wc=Wc, d_col=d_col, M=M, n_groups=n_groups)
+        G=G, Wc=Wc, d_col=d_col, M=M, n_groups=n_groups,
+        f16_payload=f16_payload)
 
     out, alpha = pl.pallas_call(
         kernel,
@@ -520,7 +578,8 @@ def _raster_chunk(default: int = 512) -> int:
 
 def _forward_flat(packed, starts, counts, width: int, height: int,
                   tile_size: int, d_col: int, max_per_tile: int,
-                  chunk: int = 512, interpret: bool = False):
+                  chunk: int = 512, interpret: bool = False,
+                  f16_payload: bool = False):
     """Rasterize one camera from the flat sorted intersection list.
 
     Args:
@@ -546,7 +605,7 @@ def _forward_flat(packed, starts, counts, width: int, height: int,
 
     kernel = functools.partial(
         _kernel_flat, tile_size=tile_size, tw=tw, chunk=chunk,
-        max_chunks=max_chunks, d_col=d_col, M=M)
+        max_chunks=max_chunks, d_col=d_col, M=M, f16_payload=f16_payload)
 
     out, alpha = pl.pallas_call(
         kernel,
@@ -967,12 +1026,13 @@ def _backward_flat(packed, starts, counts, ids, v_img, v_alpha,
     return d_means2d, d_conics, d_colors, d_op, absgrad
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13))
 def rasterize_flat_pallas(means2d, conics, colors, opacities, radii, depths,
                           abs_tap,
                           width: int, height: int, tile_size: int,
                           max_tiles_per_gauss: int, max_per_tile: int,
-                          interpret: bool = False):
+                          interpret: bool = False,
+                          payload_f16: bool = False):
     """Bin + rasterize one camera via the flat sorted-list kernel.
 
     Binning (tiles.bin_gaussians_packed) lives inside the custom VJP: the
@@ -989,20 +1049,34 @@ def rasterize_flat_pallas(means2d, conics, colors, opacities, radii, depths,
     """
     out, _ = _flat_fwd(means2d, conics, colors, opacities, radii, depths,
                        abs_tap, width, height, tile_size, max_tiles_per_gauss,
-                       max_per_tile, interpret)
+                       max_per_tile, interpret, payload_f16)
     return out
 
 
 def _flat_fwd(means2d, conics, colors, opacities, radii, depths, abs_tap,
               width, height, tile_size, max_tiles_per_gauss, max_per_tile,
-              interpret):
+              interpret, payload_f16=False):
     tw = (width + tile_size - 1) // tile_size
     th = (height + tile_size - 1) // tile_size
     # payload as (N,) planes: a concatenated (N, 10) matrix would lane-pad
     # to (N, 128) on TPU (12.8x HBM traffic) before the transpose
-    values = ((means2d[:, 0], means2d[:, 1], conics[:, 0], conics[:, 1],
-               conics[:, 2], opacities)
-              + tuple(colors[:, i] for i in range(colors.shape[-1])))
+    if payload_f16:
+        # sort-operand cost is ~linear in plane count (18.4 -> 8.4 ms going
+        # 12 -> 7 operands at 2.15M rows, v5e): pack the precision-tolerant
+        # planes as f16 pairs; means2d stays f32 (subpixel accuracy)
+        d = colors.shape[-1]
+        cols = [colors[:, i] for i in range(d)]
+        if d % 2:
+            cols.append(jnp.zeros_like(cols[0]))
+        values = ((means2d[:, 0], means2d[:, 1],
+                   pack_f16_pairs(conics[:, 0], conics[:, 1]),
+                   pack_f16_pairs(conics[:, 2], opacities))
+                  + tuple(pack_f16_pairs(cols[j], cols[j + 1])
+                          for j in range(0, len(cols), 2)))
+    else:
+        values = ((means2d[:, 0], means2d[:, 1], conics[:, 0], conics[:, 1],
+                   conics[:, 2], opacities)
+                  + tuple(colors[:, i] for i in range(colors.shape[-1])))
     flat = tiles.bin_gaussians_packed(
         means2d, radii, depths, values, tile_size, tw, th,
         max_tiles_per_gauss, max_per_tile)
@@ -1012,19 +1086,20 @@ def _flat_fwd(means2d, conics, colors, opacities, radii, depths, abs_tap,
         img, alpha, extra = _forward_flat_grouped(
             flat.packed, flat.starts, flat.counts, width, height, tile_size,
             colors.shape[-1], max_per_tile, chunk=_raster_chunk(), G=G,
-            interpret=interpret)
+            interpret=interpret, f16_payload=payload_f16)
         out = (img, alpha, flat.n_dropped + extra)
     else:
         img, alpha = _forward_flat(flat.packed, flat.starts, flat.counts,
                                    width, height, tile_size, colors.shape[-1],
                                    max_per_tile, chunk=_raster_chunk(),
-                                   interpret=interpret)
+                                   interpret=interpret,
+                                   f16_payload=payload_f16)
         out = (img, alpha, flat.n_dropped)
     return out, (means2d, conics, colors, opacities, radii, depths)
 
 
 def _flat_bwd(width, height, tile_size, max_tiles_per_gauss, max_per_tile,
-              interpret, residuals, cotangents):
+              interpret, payload_f16, residuals, cotangents):
     means2d, conics, colors, opacities, radii, depths = residuals
     tw = (width + tile_size - 1) // tile_size
     th = (height + tile_size - 1) // tile_size

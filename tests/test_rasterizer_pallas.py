@@ -295,3 +295,48 @@ class TestMultiCameraBatch:
                       jnp.asarray(colors), jnp.asarray(viewmats),
                       jnp.asarray(Ks), 64, 48, max_per_tile=512)[0]
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+class TestF16Payload:
+    """f16-packed isect-sort payload (inference knob): parity within f16
+    rounding of the f32 path; means2d stay exact."""
+
+    def test_pack_roundtrip(self, rng):
+        from hunyuanworld_mirror_tpu.ops.rasterizer_pallas import (
+            pack_f16_pairs, _unpack_f16_row)
+        a = jnp.asarray(rng.normal(size=(1, 256)).astype(np.float32))
+        b = jnp.asarray(rng.uniform(0.001, 5, size=(1, 256)).astype(np.float32))
+        packed = pack_f16_pairs(a, b)
+        hi, lo = _unpack_f16_row(packed)
+        np.testing.assert_allclose(np.asarray(hi),
+                                   np.asarray(a.astype(jnp.float16), np.float32),
+                                   rtol=0, atol=0)
+        np.testing.assert_allclose(np.asarray(lo),
+                                   np.asarray(b.astype(jnp.float16), np.float32),
+                                   rtol=0, atol=0)
+
+    def test_forward_close_to_f32(self, rng):
+        from hunyuanworld_mirror_tpu.ops.rasterizer_pallas import (
+            rasterize_flat_pallas)
+        means, quats, scales, opac, colors, viewmats, Ks = _random_scene(
+            rng, n=150, c=1)
+        covars = projection.quat_scale_to_covar_planes(
+            jnp.asarray(quats), jnp.asarray(scales))
+        W, H, tile = 64, 48, 16
+        proj = projection.fully_fused_projection(
+            jnp.asarray(means), covars, jnp.asarray(viewmats),
+            jnp.asarray(Ks), W, H)
+        col = jnp.concatenate([jnp.asarray(colors),
+                               proj.depths[0][:, None]], -1)
+        tap = jnp.zeros_like(proj.means2d[0])
+        args = (proj.means2d[0], proj.conics[0], col, jnp.asarray(opac),
+                proj.radii[0], proj.depths[0], tap, W, H, tile, 8, 512)
+        img32, a32, _ = rasterize_flat_pallas(*args, True, False)
+        img16, a16, _ = rasterize_flat_pallas(*args, True, True)
+        # f16 conic/opacity/color rounding: ~1e-3 relative
+        np.testing.assert_allclose(np.asarray(img16), np.asarray(img32),
+                                   atol=2e-2, rtol=2e-2)
+        np.testing.assert_allclose(np.asarray(a16), np.asarray(a32),
+                                   atol=1e-2)
+        d = np.abs(np.asarray(img16) - np.asarray(img32))
+        assert float(np.median(d)) < 2e-3
