@@ -66,6 +66,12 @@ class GSRendererConfig:
     # f16-packed isect-sort payload on the pallas path (inference speed
     # knob, ~1e-3 render delta; see ops/rasterizer.py payload_f16)
     payload_f16: bool = True
+    # coverage-scheduled binning (pallas path): pre-sort splats by tile
+    # coverage, give slot plane k only a static prefix of gaussians —
+    # ~2-4x fewer isect-sort rows (tiles.bin_gaussians_packed_prefix).
+    # "auto" | tuple of per-slot fractions | None (classic dense slots).
+    # Prefix-excluded slots are counted in rasterize meta n_dropped.
+    slot_fracs: Optional[object] = "auto"
 
     @property
     def nums_sh(self) -> int:
@@ -469,7 +475,8 @@ def render(params, cfg: GSRendererConfig, gs_feats: jnp.ndarray,
                     max_per_tile=cfg.max_per_tile,
                     max_tiles_per_gauss=cfg.max_tiles_per_gauss,
                     impl=cfg.rasterizer_impl, quat_order="wxyz",
-                    payload_f16=cfg.payload_f16)
+                    payload_f16=cfg.payload_f16,
+                    slot_fracs=cfg.slot_fracs)
             outs.append(colors)
             alphas.append(alpha)
         rendered = jnp.stack(outs)   # (B, S, H, W, 4)

@@ -232,7 +232,7 @@ def rasterize_binned_world_jax(
     "width", "height", "tile_size", "render_mode", "max_per_tile",
     "max_tiles_per_gauss", "impl", "calc_compensations", "quat_order",
     "camera_model", "with_eval3d", "ftheta_coeffs", "rolling_shutter",
-    "ut_params", "radius_clip", "camera_batch", "payload_f16"))
+    "ut_params", "radius_clip", "camera_batch", "payload_f16", "slot_fracs"))
 def rasterize(
     means: jnp.ndarray,      # (N, 3) world-space
     quats: jnp.ndarray,      # (N, 4) — `quat_order` selects XYZW (framework
@@ -273,6 +273,11 @@ def rasterize(
                                  # 18.4 -> ~11 ms/cam); ~1e-3 output delta —
                                  # inference knob, keep False for parity /
                                  # training (bwd replays exact f32)
+    slot_fracs=None,             # coverage-scheduled binning (pallas impl):
+                                 # "auto" or per-slot prefix fractions —
+                                 # ~4x fewer isect-sort rows (see
+                                 # tiles.bin_gaussians_packed_prefix);
+                                 # inference knob like payload_f16
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Dict]:
     """gsplat.rasterization equivalent (dense single-batch layout).
 
@@ -461,7 +466,8 @@ def rasterize(
             tap = abs_tap if abs_tap is not None else jnp.zeros_like(m2d)
             out, alpha, n_drop = rasterize_flat_pallas(
                 m2d, con, col, op, rad, dep, tap, width, height, tile_size,
-                max_tiles_per_gauss, max_per_tile, False, payload_f16)
+                max_tiles_per_gauss, max_per_tile, False, payload_f16,
+                slot_fracs)
         else:
             bins = tiles.bin_gaussians(m2d, rad, dep, tile_size, tw, th,
                                        max_tiles_per_gauss, max_per_tile)

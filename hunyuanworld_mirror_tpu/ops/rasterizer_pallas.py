@@ -1026,13 +1026,15 @@ def _backward_flat(packed, starts, counts, ids, v_img, v_alpha,
     return d_means2d, d_conics, d_colors, d_op, absgrad
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13))
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(7, 8, 9, 10, 11, 12, 13, 14))
 def rasterize_flat_pallas(means2d, conics, colors, opacities, radii, depths,
                           abs_tap,
                           width: int, height: int, tile_size: int,
                           max_tiles_per_gauss: int, max_per_tile: int,
                           interpret: bool = False,
-                          payload_f16: bool = False):
+                          payload_f16: bool = False,
+                          slot_fracs=None):
     """Bin + rasterize one camera via the flat sorted-list kernel.
 
     Binning (tiles.bin_gaussians_packed) lives inside the custom VJP: the
@@ -1049,13 +1051,13 @@ def rasterize_flat_pallas(means2d, conics, colors, opacities, radii, depths,
     """
     out, _ = _flat_fwd(means2d, conics, colors, opacities, radii, depths,
                        abs_tap, width, height, tile_size, max_tiles_per_gauss,
-                       max_per_tile, interpret, payload_f16)
+                       max_per_tile, interpret, payload_f16, slot_fracs)
     return out
 
 
 def _flat_fwd(means2d, conics, colors, opacities, radii, depths, abs_tap,
               width, height, tile_size, max_tiles_per_gauss, max_per_tile,
-              interpret, payload_f16=False):
+              interpret, payload_f16=False, slot_fracs=None):
     tw = (width + tile_size - 1) // tile_size
     th = (height + tile_size - 1) // tile_size
     # payload as (N,) planes: a concatenated (N, 10) matrix would lane-pad
@@ -1077,9 +1079,14 @@ def _flat_fwd(means2d, conics, colors, opacities, radii, depths, abs_tap,
         values = ((means2d[:, 0], means2d[:, 1], conics[:, 0], conics[:, 1],
                    conics[:, 2], opacities)
                   + tuple(colors[:, i] for i in range(colors.shape[-1])))
-    flat = tiles.bin_gaussians_packed(
-        means2d, radii, depths, values, tile_size, tw, th,
-        max_tiles_per_gauss, max_per_tile)
+    if slot_fracs is not None:
+        flat = tiles.bin_gaussians_packed_prefix(
+            means2d, radii, depths, values, tile_size, tw, th,
+            max_tiles_per_gauss, max_per_tile, slot_fracs=slot_fracs)
+    else:
+        flat = tiles.bin_gaussians_packed(
+            means2d, radii, depths, values, tile_size, tw, th,
+            max_tiles_per_gauss, max_per_tile)
     import os
     G = int(os.environ.get("WM_RASTER_GROUP", "4"))
     if G > 1:
@@ -1099,7 +1106,11 @@ def _flat_fwd(means2d, conics, colors, opacities, radii, depths, abs_tap,
 
 
 def _flat_bwd(width, height, tile_size, max_tiles_per_gauss, max_per_tile,
-              interpret, payload_f16, residuals, cotangents):
+              interpret, payload_f16, slot_fracs, residuals, cotangents):
+    # slot_fracs intentionally ignored: like payload_f16, the backward
+    # replays the exact full binning (the prefix path is an inference-side
+    # forward approximation; its drops are reported via n_dropped)
+    del slot_fracs
     means2d, conics, colors, opacities, radii, depths = residuals
     tw = (width + tile_size - 1) // tile_size
     th = (height + tile_size - 1) // tile_size

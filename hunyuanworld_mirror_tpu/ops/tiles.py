@@ -266,6 +266,148 @@ def bin_gaussians_packed_multi(means2d: jnp.ndarray, radii: jnp.ndarray,
     return FlatBins(packed, starts, counts, n_dropped)
 
 
+# Per-slot-plane prefix fractions for coverage-scheduled binning ("auto"):
+# after a descending pre-sort by tile coverage, slot plane k enumerates only
+# the first ceil(frac_k * N) gaussians. Sized from measured 518px scenes
+# (mean cover 1.67 tiles, #cover>1 = 0.49N, #cover>3 = 0, tools/bin_ab.py)
+# with 2-4x margins; prefix-excluded slots are counted in n_dropped.
+AUTO_SLOT_FRACS = (1.0, 0.75, 0.25, 0.25, 0.125, 0.0625, 0.0625,
+                   0.03125, 0.03125)
+
+
+def _auto_slot_fracs(TPG: int):
+    if TPG <= len(AUTO_SLOT_FRACS):
+        return AUTO_SLOT_FRACS[:TPG]
+    return AUTO_SLOT_FRACS + (AUTO_SLOT_FRACS[-1],) * (TPG - len(AUTO_SLOT_FRACS))
+
+
+def bin_gaussians_packed_prefix(means2d: jnp.ndarray, radii: jnp.ndarray,
+                                depths: jnp.ndarray, values,
+                                tile_size: int, tile_width: int,
+                                tile_height: int,
+                                max_tiles_per_gauss: int = 9,
+                                max_per_tile: int = 1024,
+                                slot_fracs="auto",
+                                align: int = 512) -> FlatBins:
+    """Coverage-scheduled variant of bin_gaussians_packed: ~4x fewer sorted
+    rows at equal semantics on measured scenes.
+
+    The classic expansion gives every gaussian TPG slots (N*TPG rows) even
+    though the measured mean tile coverage is ~1.7 — and lax.sort cost is
+    ~linear in rows on TPU (2.9/6.4/14.7 ms at 1.2/2.4/4.8M rows, v5e,
+    tools/sort_ab2.py). This path:
+
+      1. pre-sorts gaussians DESC by clamped tile coverage (cheap: N rows),
+         payload planes riding the sort;
+      2. slot plane k then only enumerates the first P_k = ceil(frac_k * N)
+         gaussians — gaussians needing a k-th slot form a prefix of the
+         coverage-sorted order, so static prefixes capture them exactly when
+         P_k >= #(cover > k); shortfalls are counted in n_dropped;
+      3. the main (tile|depth) sort runs over sum(P_k) rows instead of N*TPG.
+
+    Returns the same FlatBins contract as bin_gaussians_packed (gauss_ids
+    unsupported — this is the inference fast path; the backward re-bins via
+    the exact classic path, mirroring the payload_f16 precedent).
+    """
+    N = means2d.shape[0]
+    n_tiles = tile_width * tile_height
+    TPG = max_tiles_per_gauss
+    if slot_fracs == "auto":
+        slot_fracs = _auto_slot_fracs(TPG)
+    assert len(slot_fracs) == TPG, (len(slot_fracs), TPG)
+    assert n_tiles < (1 << (31 - DEPTH_BITS))
+    db = DEPTH_BITS
+
+    # per-gaussian box planes (same math as _isect_keys, N-component form)
+    u, v = means2d[:, 0], means2d[:, 1]
+    rx = radii[:, 0].astype(means2d.dtype)
+    ry = radii[:, 1].astype(means2d.dtype)
+    txmin = jnp.clip(jnp.floor((u - rx) / tile_size).astype(jnp.int32), 0, tile_width)
+    txmax = jnp.clip(jnp.ceil((u + rx) / tile_size).astype(jnp.int32), 0, tile_width)
+    tymin = jnp.clip(jnp.floor((v - ry) / tile_size).astype(jnp.int32), 0, tile_height)
+    tymax = jnp.clip(jnp.ceil((v + ry) / tile_size).astype(jnp.int32), 0, tile_height)
+    valid = (radii[:, 0] > 0) & (radii[:, 1] > 0)
+    bw = txmax - txmin
+    n_cover = jnp.where(valid, bw * (tymax - tymin), 0)
+    cover_c = jnp.minimum(n_cover, TPG)
+
+    d_ok = jnp.where(valid, depths, jnp.inf)
+    dmin = jnp.min(d_ok)
+    dmax = jnp.max(jnp.where(valid, depths, -jnp.inf))
+    scale = ((1 << db) - 1) / jnp.maximum(dmax - dmin, 1e-12)
+    dq = jnp.clip(jnp.nan_to_num((depths - dmin) * scale),
+                  0, (1 << db) - 1).astype(jnp.int32)
+
+    # 10 bits per field: works to 16k-pixel images (tile_width < 1024)
+    assert max(tile_width, tile_height) < 1024
+    boxpack = txmin | (tymin << 10) | (jnp.maximum(bw, 1) << 20)
+
+    if not isinstance(values, (list, tuple)):
+        values_t = values.T
+        values = tuple(values_t[r] for r in range(values.shape[1]))
+    V = len(values)
+
+    idxN = jnp.arange(N, dtype=jnp.int32)
+    pre = lax.sort((-cover_c, idxN, boxpack, dq) + tuple(values),
+                   num_keys=2, is_stable=False)
+    cover_s = -pre[0]
+    box_s, dq_s = pre[2], pre[3]
+    planes_s = pre[4:]
+
+    P = [min(N, -(-int(N * f) // align) * align) for f in slot_fracs]
+    key_parts, plane_parts = [], [[] for _ in range(V)]
+    for k in range(TPG):
+        pk = P[k]
+        if pk <= 0:
+            continue
+        bx = box_s[:pk]
+        txm = bx & 1023
+        tym = (bx >> 10) & 1023
+        bws = bx >> 20
+        tx = txm + k % bws
+        ty = tym + k // bws
+        slot_ok = k < cover_s[:pk]
+        tile = jnp.where(slot_ok, ty * tile_width + tx, n_tiles)
+        key_parts.append((tile << db) | dq_s[:pk])
+        for r in range(V):
+            plane_parts[r].append(planes_s[r][:pk])
+
+    key_cat = jnp.concatenate(key_parts)
+    R = key_cat.shape[0]
+    pad = (-R) % align
+    if pad:
+        key_cat = jnp.pad(key_cat, (0, pad), constant_values=jnp.iinfo(jnp.int32).max)
+    planes_cat = []
+    for r in range(V):
+        p = jnp.concatenate(plane_parts[r])
+        if pad:
+            p = jnp.pad(p, (0, pad))
+        planes_cat.append(p)
+    R = R + pad
+
+    idxR = jnp.arange(R, dtype=jnp.int32)
+    sorted_ = lax.sort((key_cat, idxR) + tuple(planes_cat), num_keys=2,
+                       is_stable=False)
+
+    edges = _searchsorted_2level(
+        sorted_[0], jnp.arange(n_tiles + 1, dtype=jnp.int32) << db)
+    starts = edges[:-1]
+    counts_full = edges[1:] - starts
+    counts = jnp.minimum(counts_full, max_per_tile)
+
+    # drops: per-tile cap overflow + coverage beyond TPG + prefix exclusions
+    # (#(cover > k) beyond P_k, exact since cover_s is sorted descending)
+    n_dropped = jnp.sum(counts_full - counts) + jnp.sum(
+        jnp.maximum(n_cover - TPG, 0))
+    for k in range(TPG):
+        pk = P[k]
+        if pk < N:
+            n_dropped = n_dropped + jnp.sum(cover_s[pk:] > k)
+
+    packed = jnp.stack(sorted_[2:], axis=0)
+    return FlatBins(packed, starts, counts, n_dropped.astype(jnp.int32))
+
+
 def bin_gaussians_packed(means2d: jnp.ndarray, radii: jnp.ndarray,
                          depths: jnp.ndarray, values,
                          tile_size: int, tile_width: int, tile_height: int,

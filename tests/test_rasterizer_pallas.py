@@ -340,3 +340,77 @@ class TestF16Payload:
                                    atol=1e-2)
         d = np.abs(np.asarray(img16) - np.asarray(img32))
         assert float(np.median(d)) < 2e-3
+
+
+class TestPrefixBinning:
+    """Coverage-scheduled binning (tiles.bin_gaussians_packed_prefix):
+    bit-identical to the classic dense-slot expansion at full prefixes,
+    honest drop accounting under tight prefixes, and render parity through
+    the flat kernel."""
+
+    def _bin_inputs(self, rng, n=800, W=160, H=160, tile=16, rmax=20):
+        m2d = jnp.asarray(rng.uniform(-10, W + 10, (n, 2)).astype(np.float32))
+        rad = jnp.asarray(rng.integers(0, rmax, (n, 2)).astype(np.int32))
+        rad = rad.at[::7].set(0)  # some culled splats
+        dep = jnp.asarray(rng.uniform(0.1, 9.0, n).astype(np.float32))
+        vals = tuple(jnp.asarray(rng.normal(size=n).astype(np.float32))
+                     for _ in range(3))
+        tw, th = (W + tile - 1) // tile, (H + tile - 1) // tile
+        return m2d, rad, dep, vals, tile, tw, th
+
+    def test_full_fracs_match_classic(self, rng):
+        m2d, rad, dep, vals, tile, tw, th = self._bin_inputs(rng)
+        classic = tiles.bin_gaussians_packed(m2d, rad, dep, vals, tile, tw,
+                                             th, 9, 4096)
+        prefix = tiles.bin_gaussians_packed_prefix(
+            m2d, rad, dep, vals, tile, tw, th, 9, 4096, slot_fracs=(1.0,) * 9)
+        assert int(classic.n_dropped) == int(prefix.n_dropped)
+        np.testing.assert_array_equal(np.asarray(classic.counts),
+                                      np.asarray(prefix.counts))
+        # per-tile payload multisets identical (order may differ on exact
+        # (tile, quantized-depth) ties — both deterministic)
+        for t in range(tw * th):
+            c = np.sort(np.asarray(
+                classic.packed[0][classic.starts[t]:
+                                  classic.starts[t] + classic.counts[t]]))
+            p = np.sort(np.asarray(
+                prefix.packed[0][prefix.starts[t]:
+                                 prefix.starts[t] + prefix.counts[t]]))
+            np.testing.assert_array_equal(c, p)
+
+    def test_tight_fracs_count_drops(self, rng):
+        m2d, rad, dep, vals, tile, tw, th = self._bin_inputs(rng)
+        classic = tiles.bin_gaussians_packed(m2d, rad, dep, vals, tile, tw,
+                                             th, 9, 4096)
+        # align=64 so tiny-N prefixes actually bite
+        tight = tiles.bin_gaussians_packed_prefix(
+            m2d, rad, dep, vals, tile, tw, th, 9, 4096,
+            slot_fracs=(1.0, 0.25, 0.125, 0.125, 0.0625, 0.0625, 0.0625,
+                        0.0625, 0.0625), align=64)
+        lost = int(jnp.sum(classic.counts) - jnp.sum(tight.counts))
+        assert lost > 0
+        assert int(tight.n_dropped) == int(classic.n_dropped) + lost
+
+    def test_render_parity_generous_fracs(self, rng):
+        from hunyuanworld_mirror_tpu.ops.rasterizer_pallas import (
+            rasterize_flat_pallas)
+        means, quats, scales, opac, colors, viewmats, Ks = _random_scene(
+            rng, n=150, c=1)
+        covars = projection.quat_scale_to_covar_planes(
+            jnp.asarray(quats), jnp.asarray(scales))
+        W, H, tile = 64, 48, 16
+        proj = projection.fully_fused_projection(
+            jnp.asarray(means), covars, jnp.asarray(viewmats),
+            jnp.asarray(Ks), W, H)
+        col = jnp.concatenate([jnp.asarray(colors),
+                               proj.depths[0][:, None]], -1)
+        tap = jnp.zeros_like(proj.means2d[0])
+        args = (proj.means2d[0], proj.conics[0], col, jnp.asarray(opac),
+                proj.radii[0], proj.depths[0], tap, W, H, tile, 8, 512)
+        img_c, a_c, d_c = rasterize_flat_pallas(*args, True, False, None)
+        img_p, a_p, d_p = rasterize_flat_pallas(*args, True, False, (1.0,) * 8)
+        assert int(d_c) == int(d_p)
+        np.testing.assert_allclose(np.asarray(img_p), np.asarray(img_c),
+                                   atol=1e-5, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(a_p), np.asarray(a_c),
+                                   atol=1e-5)
