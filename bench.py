@@ -199,8 +199,12 @@ def _time(fn, *args, iters=3, warmup=1):
 def build(views_s: int, img: int, render: bool, head_chunk=None):
     from hunyuanworld_mirror_tpu.models import worldmirror
 
+    # inference fast-path knobs opted in explicitly: slot_fracs="auto" is a
+    # lossy coverage-scheduled binning calibrated at 518px (advisor r3 —
+    # must not be a config default)
     cfg = worldmirror.WorldMirrorConfig(img_size=img, rasterizer_impl="pallas",
-                                        head_chunk=head_chunk)
+                                        head_chunk=head_chunk,
+                                        gs_slot_fracs="auto")
     params = worldmirror.init(jax.random.PRNGKey(0), cfg)
     # bf16 param storage for inference: halves HBM traffic on the weight side
     params = jax.tree.map(

@@ -70,8 +70,14 @@ class GSRendererConfig:
     # coverage, give slot plane k only a static prefix of gaussians —
     # ~2-4x fewer isect-sort rows (tiles.bin_gaussians_packed_prefix).
     # "auto" | tuple of per-slot fractions | None (classic dense slots).
-    # Prefix-excluded slots are counted in rasterize meta n_dropped.
-    slot_fracs: Optional[object] = "auto"
+    # Default None: the AUTO fractions are calibrated to measured 518px
+    # scene stats, so other resolutions / heavier-coverage scenes can drop
+    # intersections — the forward-only approximation must be an explicit
+    # INFERENCE opt-in (bench.py / infer.py set "auto"), never a training
+    # default (advisor r3 medium: fwd loss would diverge from the exact
+    # re-binned bwd). Prefix-excluded slots are counted in
+    # predictions["render_n_dropped"].
+    slot_fracs: Optional[object] = None
 
     @property
     def nums_sh(self) -> int:
@@ -445,7 +451,7 @@ def render(params, cfg: GSRendererConfig, gs_feats: jnp.ndarray,
                   if dist_mesh is not None else 1)
         use_dist = (v_size > 1 and S % v_size == 0 and n_splats % v_size == 0)
 
-        outs, alphas = [], []
+        outs, alphas, n_drops = [], [], []
         for b in range(B):  # B is small and static
             if use_dist:
                 from ..ops.distributed import rasterize_distributed
@@ -467,7 +473,7 @@ def render(params, cfg: GSRendererConfig, gs_feats: jnp.ndarray,
                 # them buys nothing while the bigger packed array costs.
                 # payload_f16: inference keeps the isect-sort payload in
                 # f16 pairs (sort 18.4 -> ~11 ms/cam; ~1e-3 render delta)
-                colors, alpha, _ = rasterizer.rasterize(
+                colors, alpha, meta = rasterizer.rasterize(
                     splats["means"][b], splats["quats"][b], splats["scales"][b],
                     splats["opacities"][b], splats["sh"][b],
                     lax.stop_gradient(w2c[b]), lax.stop_gradient(Ks[b]),
@@ -477,11 +483,16 @@ def render(params, cfg: GSRendererConfig, gs_feats: jnp.ndarray,
                     impl=cfg.rasterizer_impl, quat_order="wxyz",
                     payload_f16=cfg.payload_f16,
                     slot_fracs=cfg.slot_fracs)
+                n_drops.append(meta["n_dropped"])
             outs.append(colors)
             alphas.append(alpha)
         rendered = jnp.stack(outs)   # (B, S, H, W, 4)
         predictions["rendered_colors"] = rendered[..., :3]
         predictions["rendered_depths"] = rendered[..., 3:]
         predictions["rendered_alphas"] = jnp.stack(alphas)
+        if n_drops:
+            # surface binning drops so callers (esp. with slot_fracs /
+            # static-cap configs) can see lost intersections (advisor r3)
+            predictions["render_n_dropped"] = jnp.stack(n_drops)
 
     return predictions

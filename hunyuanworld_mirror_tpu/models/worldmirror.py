@@ -43,6 +43,9 @@ class WorldMirrorConfig:
     trunk_heads: int = 16
     intermediate_idxs: tuple = (4, 11, 17, 23)
     rasterizer_impl: str = "jax"
+    # coverage-scheduled binning (pallas path, INFERENCE-only approximation;
+    # see gaussians.GSRendererConfig.slot_fracs). None = exact binning.
+    gs_slot_fracs: Optional[object] = None
     # splat-mean source (reference rasterization.py:389-498); see
     # gaussians.GSRendererConfig.position_from
     gs_position_from: str = "gsdepth+predcamera"
@@ -118,7 +121,8 @@ class WorldMirrorConfig:
                                 voxel_size=self.voxel_size,
                                 rasterizer_impl=self.rasterizer_impl,
                                 position_from=self.gs_position_from,
-                                enable_compact=self.gs_compact)
+                                enable_compact=self.gs_compact,
+                                slot_fracs=self.gs_slot_fracs)
 
 
 def init(key, cfg: WorldMirrorConfig):

@@ -233,7 +233,7 @@ def rasterize_binned_world_jax(
     "max_tiles_per_gauss", "impl", "calc_compensations", "quat_order",
     "camera_model", "with_eval3d", "ftheta_coeffs", "rolling_shutter",
     "ut_params", "radius_clip", "camera_batch", "payload_f16", "slot_fracs"))
-def rasterize(
+def _rasterize_jit(
     means: jnp.ndarray,      # (N, 3) world-space
     quats: jnp.ndarray,      # (N, 4) — `quat_order` selects XYZW (framework
                              # default) or WXYZ (gsplat/3DGS-PLY convention)
@@ -505,6 +505,17 @@ def rasterize(
             # nonzero means max_per_tile / max_tiles_per_gauss need raising
             "n_dropped": n_dropped}
     return render_colors, render_alphas, meta
+
+
+def rasterize(*args, slot_fracs=None, **kwargs):
+    """Public entry: normalizes `slot_fracs` (a jit-static arg) so the
+    natural list-of-fractions spelling doesn't hit an unhashable-static
+    TypeError at trace time (advisor r3). Note the knob only applies to
+    impl="pallas" — the jax / eval3d / UT paths ignore it. See
+    _rasterize_jit for the full signature/docs."""
+    if slot_fracs is not None and not isinstance(slot_fracs, (str, tuple)):
+        slot_fracs = tuple(slot_fracs)
+    return _rasterize_jit(*args, slot_fracs=slot_fracs, **kwargs)
 
 
 def _tile_weights(means2d, conics, opacities, live, px_xy):

@@ -307,15 +307,23 @@ def bin_gaussians_packed_prefix(means2d: jnp.ndarray, radii: jnp.ndarray,
 
     Returns the same FlatBins contract as bin_gaussians_packed (gauss_ids
     unsupported — this is the inference fast path; the backward re-bins via
-    the exact classic path, mirroring the payload_f16 precedent).
+    the exact classic path, mirroring the payload_f16 precedent). The main
+    sort tiebreaks on the classic flat index (k*N + gaussian id), so within
+    the surviving prefixes blending order is identical to the classic path.
     """
     N = means2d.shape[0]
     n_tiles = tile_width * tile_height
     TPG = max_tiles_per_gauss
     if slot_fracs == "auto":
         slot_fracs = _auto_slot_fracs(TPG)
-    assert len(slot_fracs) == TPG, (len(slot_fracs), TPG)
-    assert n_tiles < (1 << (31 - DEPTH_BITS))
+    # ValueError (not assert): these preconditions guard against silent key
+    # corruption and must survive `python -O` (advisor r3)
+    if len(slot_fracs) != TPG:
+        raise ValueError(
+            f"slot_fracs has {len(slot_fracs)} entries, need "
+            f"max_tiles_per_gauss={TPG}")
+    if n_tiles >= (1 << (31 - DEPTH_BITS)):
+        raise ValueError(f"{n_tiles} tiles overflows the packed isect key")
     db = DEPTH_BITS
 
     # per-gaussian box planes (same math as _isect_keys, N-component form)
@@ -339,7 +347,10 @@ def bin_gaussians_packed_prefix(means2d: jnp.ndarray, radii: jnp.ndarray,
                   0, (1 << db) - 1).astype(jnp.int32)
 
     # 10 bits per field: works to 16k-pixel images (tile_width < 1024)
-    assert max(tile_width, tile_height) < 1024
+    if max(tile_width, tile_height) >= 1024:
+        raise ValueError(
+            f"tile grid {tile_width}x{tile_height} overflows the 10-bit "
+            "boxpack fields (images must be < ~16k px per side)")
     boxpack = txmin | (tymin << 10) | (jnp.maximum(bw, 1) << 20)
 
     if not isinstance(values, (list, tuple)):
@@ -351,11 +362,12 @@ def bin_gaussians_packed_prefix(means2d: jnp.ndarray, radii: jnp.ndarray,
     pre = lax.sort((-cover_c, idxN, boxpack, dq) + tuple(values),
                    num_keys=2, is_stable=False)
     cover_s = -pre[0]
+    orig_s = pre[1]          # coverage-sorted row -> original gaussian index
     box_s, dq_s = pre[2], pre[3]
     planes_s = pre[4:]
 
     P = [min(N, -(-int(N * f) // align) * align) for f in slot_fracs]
-    key_parts, plane_parts = [], [[] for _ in range(V)]
+    key_parts, tie_parts, plane_parts = [], [], [[] for _ in range(V)]
     for k in range(TPG):
         pk = P[k]
         if pk <= 0:
@@ -369,14 +381,23 @@ def bin_gaussians_packed_prefix(means2d: jnp.ndarray, radii: jnp.ndarray,
         slot_ok = k < cover_s[:pk]
         tile = jnp.where(slot_ok, ty * tile_width + tx, n_tiles)
         key_parts.append((tile << db) | dq_s[:pk])
+        # classic flat_idx (= k*N + original gaussian index, the (TPG, N)
+        # row-major layout) as the tiebreak: quantized-depth ties then blend
+        # in EXACTLY the order of the classic path — and of _flat_bwd's
+        # classic re-bin (advisor r3: the concatenated-row index broke the
+        # "backward replays the exact forward order" guarantee)
+        tie_parts.append(k * N + orig_s[:pk])
         for r in range(V):
             plane_parts[r].append(planes_s[r][:pk])
 
     key_cat = jnp.concatenate(key_parts)
+    tie_cat = jnp.concatenate(tie_parts)
     R = key_cat.shape[0]
     pad = (-R) % align
     if pad:
-        key_cat = jnp.pad(key_cat, (0, pad), constant_values=jnp.iinfo(jnp.int32).max)
+        imax = jnp.iinfo(jnp.int32).max
+        key_cat = jnp.pad(key_cat, (0, pad), constant_values=imax)
+        tie_cat = jnp.pad(tie_cat, (0, pad), constant_values=imax)
     planes_cat = []
     for r in range(V):
         p = jnp.concatenate(plane_parts[r])
@@ -385,8 +406,7 @@ def bin_gaussians_packed_prefix(means2d: jnp.ndarray, radii: jnp.ndarray,
         planes_cat.append(p)
     R = R + pad
 
-    idxR = jnp.arange(R, dtype=jnp.int32)
-    sorted_ = lax.sort((key_cat, idxR) + tuple(planes_cat), num_keys=2,
+    sorted_ = lax.sort((key_cat, tie_cat) + tuple(planes_cat), num_keys=2,
                        is_stable=False)
 
     edges = _searchsorted_2level(

@@ -36,6 +36,10 @@ def parse_args():
     p.add_argument("--conf-percent", type=float, default=20.0,
                    help="drop bottom X%% confidence points in the point PLY")
     p.add_argument("--rasterizer", choices=["jax", "pallas"], default="pallas")
+    p.add_argument("--fast-binning", action="store_true",
+                   help="coverage-scheduled isect binning (pallas path): "
+                        "faster render, may drop intersections on scenes "
+                        "heavier than the 518px calibration")
     p.add_argument("--video", action="store_true",
                    help="render a slerp-interpolated novel-view video")
     p.add_argument("--ba", action="store_true",
@@ -85,7 +89,9 @@ def main():
     }
     cfg = worldmirror.WorldMirrorConfig(
         img_size=args.size, enable_gs=not args.no_gs,
-        rasterizer_impl=args.rasterizer, **presets[args.preset])
+        rasterizer_impl=args.rasterizer,
+        gs_slot_fracs="auto" if args.fast_binning else None,
+        **presets[args.preset])
     if args.ckpt:
         print(f"Loading checkpoint {args.ckpt} ...")
         params = ckpt_lib.load_params(args.ckpt)

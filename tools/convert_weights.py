@@ -95,6 +95,10 @@ def convert_dinov2(sd: Dict[str, np.ndarray], prefix="") -> Dict:
     """DINOv2 ViT (reference src/models/layers/vision_transformer.py:37)."""
     n = _n_layers(sd, re.escape(prefix) + r"blocks\.(\d+)\.norm1\.weight")
     blocks = [_block(sd, f"{prefix}blocks.{i}") for i in range(n)]
+    # mask_token is DINOv2's masked-image-modeling embedding
+    # (vision_transformer.py:105) — never used on the inference path; read it
+    # so the weight-name contract records it as consciously dropped
+    sd.get(f"{prefix}mask_token")
     return {
         "patch_embed": {"proj": _conv(sd, f"{prefix}patch_embed.proj")},
         "cls_token": sd[f"{prefix}cls_token"],

@@ -60,6 +60,22 @@ def unflatten_tree(flat):
     return fix(root)
 
 
+def _to_f16(flat):
+    """fp32 planes -> fp16 for storage (committed-fixture size: 38 -> ~10 MB,
+    VERDICT r3 #9). Safe because (a) the reference RUNS with fp16-rounded
+    weights (see main), so params survive the f16 round-trip bit-exactly, and
+    (b) fp16 rounding of the baked outputs adds <=4.9e-4 relative error
+    against compare_full's >=2e-3 bands."""
+    return {k: (v.astype(np.float16) if v.dtype == np.float32 else v)
+            for k, v in flat.items()}
+
+
+def load_fixture_tree(flat):
+    """Load helper for test_golden_fixture: fp16 storage -> fp32 compute."""
+    return {k: (v.astype(np.float32) if v.dtype == np.float16 else v)
+            for k, v in flat.items()}
+
+
 def main():
     from tools import convert_weights as cw
     import test_full_model_parity as tp
@@ -67,19 +83,32 @@ def main():
     os.makedirs(FIXTURE_DIR, exist_ok=True)
     torch, model, captured, cleanup = tp.make_ref_model()
     try:
+        # Round weights to fp16-representable values BEFORE running the
+        # reference: both pipelines then compute from bit-identical params
+        # even though the fixture stores them as fp16.
+        with torch.no_grad():
+            for p in list(model.parameters()) + list(model.buffers()):
+                if p.dtype == torch.float32:
+                    p.copy_(p.half().float())
         sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
         params = cw.convert_worldmirror(sd)
         for cond, name in (((0, 0, 0), "no_priors"), ((1, 1, 1), "all_priors")):
             rng = np.random.default_rng(42)  # matches the test's rng fixture
             views = tp.make_views(rng, cond)
+            # same fp16 round-trip for the inputs: the reference must compute
+            # from exactly the values the fixture will replay
+            views = {k: (v.astype(np.float16).astype(np.float32)
+                         if getattr(v, "dtype", None) == np.float32 else v)
+                     for k, v in views.items()}
             ref = tp._run_reference(torch, model, captured, views, cond)
 
             blob = {}
             blob.update({f"params/{k}": v
-                         for k, v in flatten_tree(params).items()})
-            blob.update({f"views/{k}": v for k, v in views.items()})
+                         for k, v in _to_f16(flatten_tree(params)).items()})
+            blob.update({f"views/{k}": v
+                         for k, v in _to_f16(flatten_tree(views)).items()})
             blob.update({f"ref/{k}": v
-                         for k, v in flatten_tree(ref).items()})
+                         for k, v in _to_f16(flatten_tree(ref)).items()})
             blob["meta/cond"] = np.asarray(cond, np.int32)
             path = os.path.join(FIXTURE_DIR, f"full_model_{name}.npz")
             np.savez_compressed(path, **blob)
