@@ -96,6 +96,42 @@ def save_gs_ply(path, means: np.ndarray, scales: np.ndarray,
     _write_ply(path, cols, names, ["f4"] * len(names))
 
 
+def save_splat(path, means: np.ndarray, scales: np.ndarray,
+               quats_wxyz: np.ndarray, opacities: np.ndarray,
+               sh_dc: np.ndarray) -> str:
+    """Write ACTIVATED splats directly to the .splat web-viewer format
+    (32 bytes/record: pos f32x3 | scale f32x3 | rgba u8 | rot u8 wxyz) —
+    the no-PLY-roundtrip path used for live training snapshots.
+
+    scales LINEAR, opacities in [0,1], sh_dc the SH degree-0 coefficients
+    (color = 0.5 + C0 * dc, matching save_utils.py:243-285's converter).
+    """
+    means = np.asarray(means, np.float32).reshape(-1, 3)
+    scales = np.asarray(scales, np.float32).reshape(-1, 3)
+    quats = np.asarray(quats_wxyz, np.float32).reshape(-1, 4)
+    op = np.asarray(opacities, np.float32).reshape(-1)
+    sh_dc = np.asarray(sh_dc, np.float32).reshape(-1, 3)
+
+    ok = np.isfinite(means).all(1) & np.isfinite(scales).all(1)
+    order = np.argsort(-(scales.prod(axis=-1) * op) * ok)
+    means, scales, quats, op, sh_dc = (means[order], scales[order],
+                                       quats[order], op[order], sh_dc[order])
+    quats = quats / np.maximum(
+        np.linalg.norm(quats, axis=-1, keepdims=True), 1e-12)
+    rgba = np.concatenate([0.5 + SH_C0 * sh_dc, op[:, None]], -1)
+    rgba8 = (np.clip(rgba, 0, 1) * 255).astype(np.uint8)
+    rot8 = np.clip(quats * 128 + 128, 0, 255).astype(np.uint8)
+
+    rec = np.empty((len(means), 32), np.uint8)
+    rec[:, 0:12] = means.view(np.uint8).reshape(-1, 12)
+    rec[:, 12:24] = scales.view(np.uint8).reshape(-1, 12)
+    rec[:, 24:28] = rgba8
+    rec[:, 28:32] = rot8
+    with open(str(path), "wb") as f:
+        f.write(rec.tobytes())
+    return str(path)
+
+
 def gs_ply_to_splat(ply_path, splat_path) -> str:
     """Convert a 3DGS PLY to the .splat web-viewer format
     (parity: save_utils.py:243-285)."""

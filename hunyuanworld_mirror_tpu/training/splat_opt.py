@@ -87,6 +87,15 @@ class SplatOptConfig:
     # tb_save_image. Enabled by passing tb_logdir to optimize_splats.
     tb_every: int = 100
     tb_save_image: bool = False
+    # in-loop held-out eval cadence (reference eval_steps loop,
+    # simple_trainer_worldmirror.py:1005): every eval_every steps render the
+    # eval views passed to optimize_splats(eval_data=...) and log PSNR/SSIM.
+    # 0 = only whatever the caller does post-hoc.
+    eval_every: int = 0
+    # live-viewer snapshot cadence (training/live_viewer.py — the reference's
+    # in-training viser loop :1310-1334); used when optimize_splats gets a
+    # viewer. 0 disables snapshots even with a viewer attached.
+    viewer_every: int = 200
     # densification signal (gsplat strategy/default.py:12 semantics):
     #   "absgrad" — per-splat screen-space SUM of |dL/d means2d| from the
     #               Pallas backward's AbsGS tap (gsplat absgrad=True), scaled
@@ -354,9 +363,14 @@ def optimize_splats(
     log_fn=print,
     depths: Optional[np.ndarray] = None,  # (S, H, W) for cfg.depth_loss
     tb_logdir: Optional[str] = None,      # TensorBoard events (tb_writer.py)
+    eval_data: Optional[Tuple] = None,    # (images, c2w, Ks) held-out views
+                                          # for cfg.eval_every in-loop eval
+    viewer=None,                          # live_viewer.LiveViewer (snapshots
+                                          # every cfg.viewer_every steps)
 ) -> Dict[str, np.ndarray]:
     """Optimize a splat set against its source views; returns activated splats
-    (+ "c2w_opt" refined cameras when cfg.pose_opt)."""
+    (+ "c2w_opt" refined cameras when cfg.pose_opt, + "eval_history" rows of
+    (step, psnr, ssim) when in-loop eval ran)."""
     cfg = cfg or SplatOptConfig()
     S, H, W, _ = images.shape
     n = splats["means"].shape[0]
@@ -397,6 +411,21 @@ def optimize_splats(
         from .tb_writer import TBWriter
         tb = TBWriter(tb_logdir)
 
+    eval_history = []
+    if eval_data is not None and cfg.eval_every > 0:
+        ev_imgs, ev_c2w, ev_Ks = eval_data
+        ev_vm = jnp.asarray(cam_utils.se3_inverse(jnp.asarray(ev_c2w)))
+        ev_Ks_j = jnp.asarray(ev_Ks)
+
+    def _alive_splats(r):
+        means_, quats_, scales_, opac_, sh_ = _activate(r)
+        alive_ = np.asarray(r["alive"] > 0.5)
+        return {"means": np.asarray(means_)[alive_],
+                "quats": np.asarray(quats_)[alive_],
+                "scales": np.asarray(scales_)[alive_],
+                "opacities": np.asarray(opac_)[alive_],
+                "sh": np.asarray(sh_)[alive_]}
+
     key = jax.random.PRNGKey(seed)
     # gsplat DefaultStrategy accumulation: per-splat grad sums averaged over
     # the steps the splat was actually visible (strategy/default.py state
@@ -434,6 +463,24 @@ def optimize_splats(
         if (it + 1) % 100 == 0:
             log_fn(f"splat-opt iter {it + 1}: loss {float(loss):.4f} "
                    f"alive {int(jnp.sum(raw['alive'] > 0.5))}")
+        if (eval_data is not None and cfg.eval_every > 0
+                and (it + 1) % cfg.eval_every == 0):
+            # in-loop held-out eval (reference eval_steps loop :1005)
+            from ..utils.metrics import nvs_metrics
+            img, _, _ = render_splats(raw, ev_vm, ev_Ks_j, W, H, cfg)
+            m = nvs_metrics(np.clip(np.asarray(img[..., :3]), 0, 1),
+                            np.asarray(ev_imgs))
+            eval_history.append((it + 1, float(m["psnr"]), float(m["ssim"])))
+            log_fn(f"splat-opt eval @{it + 1}: PSNR {m['psnr']:.2f} "
+                   f"SSIM {m['ssim']:.4f} ({len(ev_imgs)} held-out views)")
+            if tb is not None:
+                tb.scalars({"eval/psnr": float(m["psnr"]),
+                            "eval/ssim": float(m["ssim"])}, it + 1)
+                tb.flush()
+        if (viewer is not None and cfg.viewer_every > 0
+                and ((it + 1) % cfg.viewer_every == 0
+                     or it == cfg.iters - 1)):
+            viewer.update(_alive_splats(raw), it + 1, float(loss))
         if tb is not None and (it + 1) % max(cfg.tb_every, 1) == 0:
             tb.scalars({"train/loss": float(loss),
                         "train/num_GS": float(jnp.sum(raw["alive"] > 0.5))},
@@ -456,4 +503,6 @@ def optimize_splats(
     if cfg.pose_opt:
         vm_opt = apply_cam_deltas(viewmats, raw["cam_deltas"])
         out["c2w_opt"] = np.asarray(cam_utils.se3_inverse(vm_opt))
+    if eval_history:
+        out["eval_history"] = np.asarray(eval_history, np.float64)
     return out

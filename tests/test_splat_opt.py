@@ -303,3 +303,81 @@ def test_splat_opt_tb_logging(rng, tmp_path):
     assert [(s, t) for s, t, _ in images] == [
         (2, "train/render_vs_gt"), (4, "train/render_vs_gt")]
     assert images[0][2].shape == (32, 64, 3)
+
+
+def test_splat_opt_inloop_eval(rng):
+    """cfg.eval_every + eval_data: PSNR/SSIM rows logged at the cadence and
+    returned as eval_history (reference eval_steps loop,
+    simple_trainer_worldmirror.py:1005)."""
+    splats, c2w, K = _scene(rng, n=40)
+    imgs = rng.uniform(size=(2, 32, 32, 3)).astype(np.float32)
+    cfg = splat_opt.SplatOptConfig(iters=6, refine_start=1000,
+                                   max_per_tile=512, eval_every=3)
+    logs = []
+    out = splat_opt.optimize_splats(
+        splats, imgs, c2w, K, cfg, log_fn=logs.append,
+        eval_data=(imgs[:1], c2w[:1], K[:1]))
+    hist = out["eval_history"]
+    assert hist.shape == (2, 3) and list(hist[:, 0]) == [3, 6]
+    assert np.isfinite(hist[:, 1:]).all()
+    assert sum("splat-opt eval @" in s for s in logs) == 2
+
+
+def test_splat_opt_live_viewer(rng, tmp_path):
+    """viewer + cfg.viewer_every: snapshots published during optimization,
+    servable over the sidecar's endpoints (reference in-training viser loop
+    :1310-1334)."""
+    import json
+    import urllib.request
+
+    from hunyuanworld_mirror_tpu.training.live_viewer import LiveViewer
+
+    splats, c2w, K = _scene(rng, n=40)
+    imgs = rng.uniform(size=(2, 32, 32, 3)).astype(np.float32)
+    lv = LiveViewer(str(tmp_path / "live"))
+    try:
+        cfg = splat_opt.SplatOptConfig(iters=4, refine_start=1000,
+                                       max_per_tile=512, viewer_every=2)
+        splat_opt.optimize_splats(splats, imgs, c2w, K, cfg,
+                                  log_fn=lambda s: None, viewer=lv)
+        st = json.loads(urllib.request.urlopen(
+            f"http://127.0.0.1:{lv.port}/out/live/live_status.json").read())
+        assert st["step"] == 4 and st["version"] >= 2 and st["num_gs"] == 40
+        blob = urllib.request.urlopen(
+            f"http://127.0.0.1:{lv.port}/out/live/live.splat").read()
+        assert len(blob) == 40 * 32  # 32-byte records, all splats alive
+        page = urllib.request.urlopen(
+            f"http://127.0.0.1:{lv.port}/viewer").read().decode()
+        assert 'PARAMS.get("mode") || "live"' in page  # live default
+        assert "live_status.json" in page and "live.splat" in page
+    finally:
+        lv.close()
+
+
+def test_splat_opt_compression_stage(rng, tmp_path):
+    """Optimized splats survive the PNG compression round-trip the --compress
+    trainer stage runs (reference compression step :1293-1300)."""
+    from hunyuanworld_mirror_tpu.io import compression
+
+    splats, c2w, K = _scene(rng, n=64)
+    imgs = rng.uniform(size=(2, 32, 32, 3)).astype(np.float32)
+    cfg = splat_opt.SplatOptConfig(iters=2, refine_start=1000,
+                                   max_per_tile=512)
+    out = splat_opt.optimize_splats(splats, imgs, c2w, K, cfg,
+                                    log_fn=lambda s: None)
+    op = np.clip(out["opacities"], 1e-6, 1 - 1e-6)
+    cdir = str(tmp_path / "compressed")
+    compression.compress(cdir, {
+        "means": out["means"],
+        "scales": np.log(np.maximum(out["scales"], 1e-12)),
+        "quats": out["quats"],
+        "opacities": np.log(op / (1 - op)),
+        "sh": out["sh"]})
+    back = compression.decompress(cdir)
+    n = back["means"].shape[0]
+    assert n == int(np.sqrt(len(out["means"]))) ** 2
+    assert np.isfinite(back["means"]).all()
+    # morton sort reorders rows; the quantized coordinate SET must round-trip
+    lo = np.sort(out["means"][:, 0])[:n]
+    assert abs(float(np.median(np.sort(back["means"][:, 0]))
+                     - np.median(lo))) < 0.2

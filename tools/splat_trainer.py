@@ -165,6 +165,18 @@ def main():
     p.add_argument("--test-every", type=int, default=0,
                    help="hold out every Nth view for PSNR/SSIM eval "
                         "(reference eval loop :1005); 0 trains on all")
+    p.add_argument("--eval-every", type=int, default=0,
+                   help="in-loop eval cadence on the held-out split "
+                        "(reference eval_steps :1005); needs --test-every")
+    p.add_argument("--compress", action="store_true",
+                   help="PNG-compress the optimized splats as a final "
+                        "pipeline stage (io/compression.py, reference "
+                        "compression step :1293-1300)")
+    p.add_argument("--viewer", action="store_true",
+                   help="serve a live in-training WebGL viewer "
+                        "(training/live_viewer.py, reference viser loop "
+                        ":1310-1334)")
+    p.add_argument("--viewer-port", type=int, default=0)
     args = p.parse_args()
 
     from hunyuanworld_mirror_tpu.io import ply as io_ply
@@ -204,12 +216,23 @@ def main():
                                    opacity_reg=args.opacity_reg,
                                    scale_reg=args.scale_reg,
                                    use_bilateral_grid=args.bilateral_grid,
-                                   tb_save_image=bool(args.tb))
+                                   tb_save_image=bool(args.tb),
+                                   eval_every=args.eval_every)
+    viewer = None
+    if args.viewer:
+        from hunyuanworld_mirror_tpu.training.live_viewer import LiveViewer
+        viewer = LiveViewer(os.path.join(out_dir, "live"),
+                            port=args.viewer_port)
+        print(f"live viewer: {viewer.url}")
+    eval_data = ((imgs[test_idx], c2w[test_idx], Ks[test_idx])
+                 if (args.eval_every > 0 and len(test_idx)) else None)
     out = splat_opt.optimize_splats(
         splats, imgs[train_idx], c2w[train_idx], Ks[train_idx], cfg,
         depths=depths[train_idx] if depths is not None else None,
-        tb_logdir=args.tb)
+        tb_logdir=args.tb, eval_data=eval_data, viewer=viewer)
     print(f"optimized: {len(out['means'])} splats alive")
+    if viewer is not None:
+        viewer.close()
 
     # held-out eval (reference simple_trainer:1005)
     if len(test_idx):
@@ -231,6 +254,21 @@ def main():
         np.savez(os.path.join(out_dir, "cameras_opt.npz"),
                  c2w=out["c2w_opt"], Ks=Ks[train_idx])
         print(f"wrote {out_dir}/cameras_opt.npz (pose-optimized cameras)")
+
+    if args.compress:
+        # final compression stage (reference :1293-1300 runs PNG compression
+        # after training); pre-activation values compress best
+        from hunyuanworld_mirror_tpu.io import compression
+        cdir = os.path.join(out_dir, "compressed")
+        meta = compression.compress(cdir, {
+            "means": out["means"],
+            "scales": np.log(np.maximum(out["scales"], 1e-12)),
+            "quats": out["quats"],
+            "opacities": np.log(op / (1 - op)),
+            "sh": out["sh"]})
+        sz = sum(os.path.getsize(os.path.join(cdir, f))
+                 for f in os.listdir(cdir))
+        print(f"wrote {cdir}: {meta['count']} splats, {sz / 1e6:.2f} MB")
 
     if args.video:
         H, W = imgs.shape[1:3]
