@@ -269,6 +269,41 @@ def run_e2e(views_s: int = 4, img: int = 518, render: bool = True,
     return views_s / dt, dt, (params, cfg, views)
 
 
+def _long_row(s: int, img: int, head_chunk: int = 4) -> dict:
+    """One long-sequence row: forward, forward+render, and BA timings at S=s.
+    Raises on forward failure; render/BA failures degrade to partial rows."""
+    fps, dt, (params, cfg, views) = run_e2e(
+        s, img, render=False, iters=2, head_chunk=head_chunk)
+    out = {"views": s, "frames_per_sec": round(fps, 4),
+           "ms_per_forward": round(1e3 * dt, 1),
+           "attn_impl": "flash", "head_chunk": head_chunk}
+    try:  # full-output row: + GS splats and all-view rendering
+        fps_r, dt_r, _ = run_e2e(s, img, render=True, iters=1,
+                                 head_chunk=head_chunk)
+        out["render_frames_per_sec"] = round(fps_r, 4)
+        out["render_ms_per_forward"] = round(1e3 * dt_r, 1)
+    except Exception as e:
+        print(f"long-seq render S={s} failed: "
+              f"{type(e).__name__}: {e}", file=sys.stderr)
+    try:  # BA refinement stage (refine/ba.py, infer.py --ba)
+        from hunyuanworld_mirror_tpu.models import worldmirror
+        from hunyuanworld_mirror_tpu.refine import ba as ba_lib
+        fwd = jax.jit(lambda p, v: worldmirror.forward(
+            p, cfg, v, render=False))
+        preds = fwd(params, views)
+        keep = ("pts3d", "pts3d_conf", "depth", "camera_poses",
+                "camera_intrs")
+        preds = {k: preds[k] for k in keep}
+        ba = jax.jit(lambda p: ba_lib.refine_cameras(p, iters=12)[
+            "camera_poses"])
+        t_ba = _time(ba, preds, iters=2)
+        out["ba_ms"] = round(1e3 * t_ba, 1)
+    except Exception as e:
+        print(f"long-seq BA S={s} failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+    return out
+
+
 def run_long_seq(img: int = 518):
     """North-star long-sequence config (BASELINE config 4): as many views as
     one chip fits, with FULL outputs — the forward is timed without and WITH
@@ -280,41 +315,28 @@ def run_long_seq(img: int = 518):
     try:
         for s in (32, 16, 8):
             try:
-                fps, dt, (params, cfg, views) = run_e2e(
-                    s, img, render=False, iters=2, head_chunk=4)
-                out = {"views": s, "frames_per_sec": round(fps, 4),
-                       "ms_per_forward": round(1e3 * dt, 1),
-                       "attn_impl": "flash", "head_chunk": 4}
+                return _long_row(s, img)
             except Exception as e:
                 print(f"long-seq S={s} failed: {type(e).__name__}: {e}",
                       file=sys.stderr)
-                continue
-            try:  # full-output row: + GS splats and all-view rendering
-                fps_r, dt_r, _ = run_e2e(s, img, render=True, iters=1,
-                                         head_chunk=4)
-                out["render_frames_per_sec"] = round(fps_r, 4)
-                out["render_ms_per_forward"] = round(1e3 * dt_r, 1)
-            except Exception as e:
-                print(f"long-seq render S={s} failed: "
-                      f"{type(e).__name__}: {e}", file=sys.stderr)
-            try:  # BA refinement stage (refine/ba.py, infer.py --ba)
-                from hunyuanworld_mirror_tpu.models import worldmirror
-                from hunyuanworld_mirror_tpu.refine import ba as ba_lib
-                fwd = jax.jit(lambda p, v: worldmirror.forward(
-                    p, cfg, v, render=False))
-                preds = fwd(params, views)
-                keep = ("pts3d", "pts3d_conf", "depth", "camera_poses",
-                        "camera_intrs")
-                preds = {k: preds[k] for k in keep}
-                ba = jax.jit(lambda p: ba_lib.refine_cameras(p, iters=12)[
-                    "camera_poses"])
-                t_ba = _time(ba, preds, iters=2)
-                out["ba_ms"] = round(1e3 * t_ba, 1)
-            except Exception as e:
-                print(f"long-seq BA S={s} failed: {type(e).__name__}: {e}",
-                      file=sys.stderr)
-            return out
         return {"views": 0}
+    finally:
+        if prev is None:
+            os.environ.pop("WM_ATTN_IMPL", None)
+        else:
+            os.environ["WM_ATTN_IMPL"] = prev
+
+
+def run_long_seq64(img: int = 518):
+    """North-star config 4's upper bound ("32-64 frames"): the S=64 row.
+    Scaling levers vs S=32: head_chunk stays 4 (peak head memory O(chunk)),
+    the render path's per-camera loop falls back to lax.map beyond
+    WM_RASTER_UNROLL cameras, and the voxel/compact static caps bound the
+    splat count (drops are reported in render_n_dropped)."""
+    prev = os.environ.get("WM_ATTN_IMPL")
+    os.environ["WM_ATTN_IMPL"] = "flash"
+    try:
+        return _long_row(64, img)
     finally:
         if prev is None:
             os.environ.pop("WM_ATTN_IMPL", None)
@@ -387,6 +409,14 @@ def main():
     except Exception as e:
         print(f"long-seq bench failed: {type(e).__name__}: {e}", file=sys.stderr)
 
+    long_seq64 = {}
+    try:
+        long_seq64 = run_long_seq64(img)
+    except Exception as e:
+        print(f"long-seq64 bench failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+        long_seq64 = {"views": 64, "failed": f"{type(e).__name__}: {e}"[:200]}
+
     out = {
         "metric": "frames_per_sec_per_chip_518px",
         "value": round(fps, 4),
@@ -404,6 +434,7 @@ def main():
         "sol": sol,
         "phases_ms": phases,
         "long_seq": long_seq,
+        "long_seq64": long_seq64,
         "comm": comm_report(32, img, img, n_view_shards=8),
     }
     print(json.dumps(out))

@@ -77,8 +77,12 @@ def _fusion_block(p, x, residual=None, size=None):
     x = _residual_conv_unit(p["res2"], x)
     if size is None:
         size = (x.shape[-3] * 2, x.shape[-2] * 2)
-    x = resize_bilinear(x, size, align_corners=True)
-    return nn.conv(p["out_conv"], x)
+    # out_conv is 1x1 (pixel-wise linear in channels) and bilinear resize is
+    # linear in pixels, so they commute exactly; conv BEFORE the ~2x upsample
+    # runs on 4x fewer pixels (reference dense_head.py:472-476 convs after —
+    # same math, this order is the cheap one)
+    x = nn.conv(p["out_conv"], x)
+    return resize_bilinear(x, size, align_corners=True)
 
 
 def init(key, cfg: DPTConfig):

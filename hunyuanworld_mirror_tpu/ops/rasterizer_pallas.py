@@ -41,6 +41,40 @@ T_EPS = 1e-4
 NEG_INF_GUARD = -30.0  # log-space floor; exp(-30) ~ 1e-13 << T_EPS
 
 
+def _scan_sub(chunk: int) -> int:
+    """Transmittance-scan sub-block width (WM_RASTER_SCAN_SUB, default 128).
+
+    The triangular-matmul prefix scan costs P*W MACs per intersection at
+    width W; scanning in SUB-wide sub-blocks with an additive carry cuts MXU
+    work by chunk/SUB (512->128 = 4x) at identical math (the log-space sums
+    merely reassociate). SUB=chunk recovers the single-dot form."""
+    import os
+    sub = int(os.environ.get("WM_RASTER_SCAN_SUB", "128"))
+    return max(128, min(chunk, (sub // 128) * 128))
+
+
+def _mxu_cumsum_incl(x, chunk: int, carry0=None):
+    """Inclusive lane-prefix-sum of (P, chunk) via (SUB, SUB) triangular MXU
+    dots with an additive carry across sub-blocks (see _scan_sub).
+    carry0 (P, 1) is added to every prefix (cross-chunk carry)."""
+    SUB = _scan_sub(chunk)
+    _r = lax.broadcasted_iota(jnp.int32, (SUB, SUB), 0)
+    _c = lax.broadcasted_iota(jnp.int32, (SUB, SUB), 1)
+    tri = (_r <= _c).astype(jnp.float32)
+    P = x.shape[0]
+    carry = (jnp.zeros((P, 1), jnp.float32) if carry0 is None else carry0)
+    parts = []
+    for sb in range(chunk // SUB):
+        cum_sb = lax.dot_general(
+            x[:, sb * SUB:(sb + 1) * SUB], tri,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32) + carry
+        parts.append(cum_sb)
+        carry = cum_sb[:, SUB - 1:SUB]
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+
+
 def _prefix_scan_add(x, exclusive: bool):
     """Prefix sum along axis 0 (sublanes) of a (K, P) block via log-step
     shifted adds. K must be a power of two."""
@@ -296,11 +330,6 @@ def _kernel_flat(starts_ref, counts_ref, packed_hbm,
     def _run():
         dma(0, 0).start()
 
-        # inclusive-prefix triangular ones (CH, CH): tri[j, i] = [j <= i]
-        _r = lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
-        _c = lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
-        tri_incl = (_r <= _c).astype(jnp.float32)
-
         def body(carry):
             j, tcar = carry
             slot = lax.rem(j, 2)
@@ -326,20 +355,17 @@ def _kernel_flat(starts_ref, counts_ref, packed_hbm,
             alpha = jnp.where(keep, alpha, 0.0)
 
             # transmittance via MXU-cumsum: the lane prefix sum of
-            # log1p(-alpha) is a (P, CH) @ (CH, CH) inclusive-triangular
-            # matmul — one MXU dot replaces the 9-pass Hillis-Steele roll
-            # scan (the scans were >half the per-chunk VPU time). Early stop
-            # needs NO second scan: T is monotone non-increasing, so "some
-            # earlier entry tripped (T_after <= T_EPS)" collapses to this
-            # entry's own T_after <= T_EPS — the tripping entry itself is
-            # excluded exactly like the CUDA kernel's break-before-blend
-            # (RasterizeToPixels3DGSFwd.cu).
+            # log1p(-alpha) is an inclusive-triangular matmul per SUB-wide
+            # sub-block (_mxu_cumsum_incl) — MXU dots replace the 9-pass
+            # Hillis-Steele roll scan (the scans were >half the per-chunk
+            # VPU time). Early stop needs NO second scan: T is monotone
+            # non-increasing, so "some earlier entry tripped (T_after <=
+            # T_EPS)" collapses to this entry's own T_after <= T_EPS — the
+            # tripping entry itself is excluded exactly like the CUDA
+            # kernel's break-before-blend (RasterizeToPixels3DGSFwd.cu).
             one_m = 1.0 - alpha
             lg = jnp.log(one_m)
-            cum_incl = lax.dot_general(
-                lg, tri_incl, dimension_numbers=(((1,), (0,)), ((), ())),
-                precision=lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32)    # (P, CH)
+            cum_incl = _mxu_cumsum_incl(lg, chunk)         # (P, CH)
             prod_incl = jnp.exp(cum_incl)
             T_after = tcar * prod_incl
             T_before = T_after / one_m
@@ -413,9 +439,6 @@ def _kernel_flat_grouped(starts_ref, counts_ref, wbase_ref, packed_hbm,
 
     base = wbase_ref[q]
 
-    _r = lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
-    _c = lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
-    tri_incl = (_r <= _c).astype(jnp.float32)
     pix = lax.broadcasted_iota(jnp.int32, (P, 1), 0)
 
     for g in range(G):                                # python-unrolled
@@ -452,10 +475,7 @@ def _kernel_flat_grouped(starts_ref, counts_ref, wbase_ref, packed_hbm,
 
             one_m = 1.0 - alpha
             lg = jnp.log(one_m)
-            cum_incl = lax.dot_general(
-                lg, tri_incl, dimension_numbers=(((1,), (0,)), ((), ())),
-                precision=lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32)
+            cum_incl = _mxu_cumsum_incl(lg, chunk)
             prod_incl = jnp.exp(cum_incl)
             T_after = tcar * prod_incl
             T_before = T_after / one_m
@@ -778,10 +798,6 @@ def _kernel_flat_bwd(starts_ref, counts_ref, packed_hbm, vout_ref, va_ref,
     vout = vout_ref[0]      # (P, D)
     va = va_ref[0]          # (P, 1)
 
-    # inclusive-prefix triangular ones for the MXU cumsum (see _kernel_flat)
-    _r = lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
-    _c = lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
-    tri_incl = (_r <= _c).astype(jnp.float32)
 
     def dma(slot, j):
         blk = jnp.minimum(b0 + j, n_blocks - 1)
@@ -810,10 +826,7 @@ def _kernel_flat_bwd(starts_ref, counts_ref, packed_hbm, vout_ref, va_ref,
         # _kernel_flat numerics exactly (see its note)
         one_m = 1.0 - alpha
         lg = jnp.log(one_m)
-        cum_incl = lax.dot_general(
-            lg, tri_incl, dimension_numbers=(((1,), (0,)), ((), ())),
-            precision=lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)
+        cum_incl = _mxu_cumsum_incl(lg, chunk)
         prod_incl = jnp.exp(cum_incl)
         T_after_all = tcar * prod_incl
         T_before = T_after_all / one_m
@@ -884,10 +897,7 @@ def _kernel_flat_bwd(starts_ref, counts_ref, packed_hbm, vout_ref, va_ref,
             w = alpha * T_before * live
 
             wg = w * g
-            incl = cum + lax.dot_general(
-                wg, tri_incl, dimension_numbers=(((1,), (0,)), ((), ())),
-                precision=lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32)  # MXU prefix sum
+            incl = _mxu_cumsum_incl(wg, chunk, carry0=cum)  # MXU prefix sum
             S_after = total - incl
             # 1 - alpha >= 1e-3 by the 0.999 clamp
             dalpha = (T_before * g - S_after / jnp.maximum(1.0 - alpha, 1e-3)

@@ -291,13 +291,28 @@ def test_full_model(ref_bundle, rng, cond):
     compare_full(ours, ref)
 
 
-def compare_full(ours, ref):
-    """Full prediction-dict comparison; also the golden-fixture contract."""
+def compare_full(ours, ref, fixture_mode=False):
+    """Full prediction-dict comparison; also the golden-fixture contract.
+
+    fixture_mode=True loosens the camera-dependent bands (cameras, splat
+    means, renders): the committed fixtures store weights/inputs rounded to
+    fp16 (tools/make_golden_fixtures.py), and at that operating point the
+    4-step iterative camera head amplifies jax-vs-torch implementation noise
+    to ~2.6e-3 on camera params (measured round 4) — every splat mean then
+    shifts by camera-error x depth. The LIVE parity test (fp32 weights) keeps
+    the tight bands; the fixture run is the torch-free REGRESSION guard, and
+    a real behavior change still exceeds these bands by orders of magnitude.
+    Head-output bands are unchanged (measured fixture deltas ~2e-6).
+    """
+    cam_atol = 6e-3 if fixture_mode else 2e-3
+    nn_tol = 1e-2 if fixture_mode else 1e-4
+    row_tol = 1e-2 if fixture_mode else 5e-3
+    row_med = 3e-3 if fixture_mode else 1e-4
     # ---- cameras ----
     np.testing.assert_allclose(np.asarray(ours["camera_params"]),
-                               ref["camera_params"], atol=2e-3)
+                               ref["camera_params"], atol=cam_atol)
     np.testing.assert_allclose(np.asarray(ours["camera_poses"]),
-                               ref["camera_poses"], atol=2e-3)
+                               ref["camera_poses"], atol=cam_atol)
     # focal = (w/2)/tan(fov/2) amplifies fov error by ~focal/fov, and the
     # reference emits inf at relu-activated fov == 0 where we deliberately
     # clamp (utils/camera.py): compare finite entries with a relative band
@@ -338,15 +353,15 @@ def compare_full(ours, ref):
         # close partner and are skipped, bounded by the population check
         from scipy.spatial import cKDTree
         dist, idx = cKDTree(tab_o[:, :3]).query(tab_r[:, :3])
-        hit = dist < 1e-4
+        hit = dist < nn_tol
         assert hit.mean() > 0.95, hit.mean()
         diff = np.abs(tab_o[idx[hit]] - tab_r[hit])
         rel = diff / (1.0 + np.abs(tab_r[hit]))
         # rows whose voxel lost/gained a boundary-flipped member have shifted
         # merged averages; their count is bounded by the same flip budget
-        bad = rel.max(axis=1) > 5e-3
+        bad = rel.max(axis=1) > row_tol
         assert int(bad.sum()) <= max(4, int(0.03 * k_ref)), int(bad.sum())
-        assert float(np.median(rel.max(axis=1))) < 1e-4
+        assert float(np.median(rel.max(axis=1))) < row_med
 
     # ---- rendered views (RGB+ED through the full pipeline) ----
     # a small fraction of splats differ by voxel-boundary flips (see above),

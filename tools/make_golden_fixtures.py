@@ -107,8 +107,10 @@ def main():
                          for k, v in _to_f16(flatten_tree(params)).items()})
             blob.update({f"views/{k}": v
                          for k, v in _to_f16(flatten_tree(views)).items()})
+            # ref outputs stay fp32: the splat-table comparison matches
+            # means at 1e-4, finer than fp16's ~1e-3 grid at means ~3
             blob.update({f"ref/{k}": v
-                         for k, v in _to_f16(flatten_tree(ref)).items()})
+                         for k, v in flatten_tree(ref).items()})
             blob["meta/cond"] = np.asarray(cond, np.int32)
             path = os.path.join(FIXTURE_DIR, f"full_model_{name}.npz")
             np.savez_compressed(path, **blob)
