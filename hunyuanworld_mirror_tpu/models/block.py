@@ -66,10 +66,22 @@ def attention(p, x: jnp.ndarray, num_heads: int,
         # batched matmuls (measured 126.6ms vs 7.8ms at N=5504), and requesting
         # f32 logits from the bf16 matmul costs another 12x (135ms vs 11ms —
         # the f32 output path bypasses the fast MXU route). So: logits in the
-        # input dtype (the MXU accumulates in f32 internally), softmax upcast
-        # to f32 for stability.
+        # input dtype (the MXU accumulates in f32 internally).
         logits = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k)
-        weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
+        if logits.dtype == jnp.bfloat16:
+            # bf16 softmax with an f32-ACCUMULATED sum: upcasting the whole
+            # logits tensor materialized 483 MB of f32 per frame layer at
+            # S=4/518px (the round-4 trace's 19 ms of trunk reduce_sum). The
+            # bf16 logits already carry ~1e-2 MXU rounding, so a bf16 exp
+            # adds nothing material; the f32 reduction dtype keeps the
+            # 1374-term sums stable without a materialized upcast.
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            e = jnp.exp(logits - m)
+            s = jnp.sum(e, axis=-1, keepdims=True, dtype=jnp.float32)
+            weights = e / s.astype(e.dtype)
+        else:
+            weights = jax.nn.softmax(
+                logits.astype(jnp.float32), axis=-1).astype(x.dtype)
         out = jnp.einsum("bhnm,bmhd->bnhd", weights, v)
     out = out.reshape(B, N, C)
     return nn.linear(p["proj"], out)

@@ -75,6 +75,38 @@ def _mxu_cumsum_incl(x, chunk: int, carry0=None):
     return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
 
 
+def _use_mxu_sigma() -> bool:
+    """WM_RASTER_MXU_SIGMA=0 falls back to the direct per-pixel sigma
+    elementwise (A/B knob; NB any in-process A/B must clear
+    _rasterize_jit's cache — env vars are not trace-cache keys)."""
+    import os
+    return os.environ.get("WM_RASTER_MXU_SIGMA", "1") == "1"
+
+
+def _sigma_mxu(feat, mx, my, ca, cb, cc, cx, cy):
+    """sigma(p) = 0.5*ca*dx^2 + 0.5*cc*dy^2 + cb*dx*dy for every (pixel,
+    entry) pair as ONE (P, 6) @ (6, CH) MXU dot over tile-relative coords
+    (cancellation-free; global 518px coords would lose ~3e-2 absolute).
+    Coefficient rows are (1, CH) — O(CH) VPU work instead of O(P*CH).
+    The expanded quadratic carries ~1e-6 reassociation noise, so the strict
+    sigma >= 0 validity test would drop a splat's CENTER pixel (exact
+    sigma == 0); small negatives are clamped to 0 so the test stays about
+    invalid conics only, like the CUDA `sigma < 0` skip."""
+    mxr = mx - cx
+    myr = my - cy
+    A = 0.5 * ca
+    Bq = 0.5 * cc
+    D = -(ca * mxr + cb * myr)
+    E = -(cc * myr + cb * mxr)
+    F = A * mxr * mxr + Bq * myr * myr + cb * mxr * myr
+    coef = jnp.concatenate([A, Bq, cb, D, E, F], axis=0)   # (6, CH)
+    sigma = lax.dot_general(
+        feat, coef, dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)                # (P, CH)
+    return jnp.maximum(sigma, jnp.where(sigma >= -1e-3, 0.0, sigma))
+
+
 def _prefix_scan_add(x, exclusive: bool):
     """Prefix sum along axis 0 (sublanes) of a (K, P) block via log-step
     shifted adds. K must be a power of two."""
@@ -318,13 +350,33 @@ def _kernel_flat(starts_ref, counts_ref, packed_hbm,
     px = (origin_x + pix % tile_size).astype(jnp.float32) + 0.5   # (P, 1)
     py = (origin_y + pix // tile_size).astype(jnp.float32) + 0.5
 
+    # MXU-sigma pixel features: sigma is a fixed quadratic in (px, py), so
+    # all P*CH evaluations collapse to ONE (P, 6) @ (6, CH) MXU dot per
+    # chunk — the VPU was the kernel's critical path (round-4: the dx/dy/
+    # sigma elementwise was ~9 of ~25 P*CH passes; the tri-matmul cut
+    # measured flat because the MXU idles while the VPU works). Coordinates
+    # are TILE-RELATIVE (|p| <= tile_size/2 + 0.5) so the expanded quadratic
+    # stays cancellation-free in fp32 (global 518px coords would lose ~3e-2
+    # absolute in sigma to cancellation).
+    cx = origin_x + tile_size * 0.5
+    cy = origin_y + tile_size * 0.5
+    pxr = px - cx                                                 # (P, 1)
+    pyr = py - cy
+    ones_p = jnp.ones((P, 1), jnp.float32)
+    feat = jnp.concatenate(
+        [pxr * pxr, pyr * pyr, pxr * pyr, pxr, pyr, ones_p], axis=1)  # (P, 6)
+
     def dma(slot, j):
-        # offset expressed as block_idx * chunk so Mosaic can prove the
-        # 128-lane divisibility of the dynamic slice start
+        # packed is CHUNK-MAJOR (n_blocks, V, chunk): one chunk's every
+        # component row is contiguous in HBM, so this is a single ~V*chunk*4B
+        # contiguous copy. The old (V, M) layout made each chunk V strided
+        # ~2 KB transfers whose DMA latency (~11 us, longer than the chunk's
+        # ~5 us of compute) was the kernel's real bound — round-4: both the
+        # tri-matmul cut and the MXU-sigma cut measured flat because the
+        # loop sat in dma.wait().
         blk = jnp.minimum(b0 + j, n_blocks - 1)
         return pltpu.make_async_copy(
-            packed_hbm.at[:, pl.ds(blk * chunk, chunk)], buf.at[slot],
-            sem.at[slot])
+            packed_hbm.at[blk], buf.at[slot], sem.at[slot])
 
     @pl.when(nch > 0)
     def _run():
@@ -343,9 +395,13 @@ def _kernel_flat(starts_ref, counts_ref, packed_hbm,
             mx, my, ca, cb, cc, op, col_t = _payload_rows(
                 b, d_col, f16_payload)
 
-            dx = px - mx                      # (P, CH)
-            dy = py - my
-            sigma = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
+            if _use_mxu_sigma():
+                sigma = _sigma_mxu(feat, mx, my, ca, cb, cc, cx, cy)
+            else:
+                dx = px - mx                  # (P, CH)
+                dy = py - my
+                sigma = (0.5 * (ca * dx * dx + cc * dy * dy)
+                         + cb * dx * dy)
             alpha = jnp.minimum(0.999, op * jnp.exp(-sigma))
 
             off = jnp.minimum(b0 + j, n_blocks - 1) * chunk
@@ -454,17 +510,30 @@ def _kernel_flat_grouped(starts_ref, counts_ref, wbase_ref, packed_hbm,
         origin_y = (t // tw) * tile_size
         px = (origin_x + pix % tile_size).astype(jnp.float32) + 0.5
         py = (origin_y + pix // tile_size).astype(jnp.float32) + 0.5
+        # MXU-sigma pixel features in tile-relative coords (see _kernel_flat)
+        cx = origin_x + tile_size * 0.5
+        cy = origin_y + tile_size * 0.5
+        pxr = px - cx
+        pyr = py - cy
+        ones_p = jnp.ones((P, 1), jnp.float32)
+        feat = jnp.concatenate(
+            [pxr * pxr, pyr * pyr, pxr * pyr, pxr, pyr, ones_p], axis=1)
 
-        def body(carry, g=g, start=start, count=count, j0=j0, px=px, py=py):
+        def body(carry, g=g, start=start, count=count, j0=j0,
+                 px=px, py=py, cx=cx, cy=cy, feat=feat):
             j, tcar = carry
             blk = jnp.minimum(j0 + j, Wc - 1)
             b = buf[slot, :, pl.ds(blk * chunk, chunk)]  # (V, CH) VMEM slice
             mx, my, ca, cb, cc, op, col_t = _payload_rows(
                 b, d_col, f16_payload)
 
-            dx = px - mx
-            dy = py - my
-            sigma = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
+            if _use_mxu_sigma():
+                sigma = _sigma_mxu(feat, mx, my, ca, cb, cc, cx, cy)
+            else:
+                dx = px - mx
+                dy = py - my
+                sigma = (0.5 * (ca * dx * dx + cc * dy * dy)
+                         + cb * dx * dy)
             alpha = jnp.minimum(0.999, op * jnp.exp(-sigma))
 
             e = base + blk * chunk + lax.broadcasted_iota(
@@ -622,6 +691,8 @@ def _forward_flat(packed, starts, counts, width: int, height: int,
         V, M = packed.shape
     # +1 chunk of slack: a tile's segment start is rarely chunk-aligned
     max_chunks = -(-max_per_tile // chunk) + 1
+    # chunk-major relayout (n_blocks, V, chunk): see _kernel_flat.dma
+    packed = packed.reshape(V, M // chunk, chunk).swapaxes(0, 1)
 
     kernel = functools.partial(
         _kernel_flat, tile_size=tile_size, tw=tw, chunk=chunk,
@@ -678,6 +749,8 @@ def _forward_flat_multi(packed, starts, counts, n_cams: int, width: int,
         packed = jnp.pad(packed, ((0, pad_v), (0, pad_m)))
         V, M = packed.shape
     max_chunks = -(-max_per_tile // chunk) + 1
+    # chunk-major relayout (n_blocks, V, chunk): see _kernel_flat.dma
+    packed = packed.reshape(V, M // chunk, chunk).swapaxes(0, 1)
 
     kernel = functools.partial(
         _kernel_flat, tile_size=tile_size, tw=tw, chunk=chunk,
@@ -800,10 +873,11 @@ def _kernel_flat_bwd(starts_ref, counts_ref, packed_hbm, vout_ref, va_ref,
 
 
     def dma(slot, j):
+        # chunk-major packed (n_blocks, V, chunk): one contiguous copy per
+        # chunk (see _kernel_flat.dma)
         blk = jnp.minimum(b0 + j, n_blocks - 1)
         return pltpu.make_async_copy(
-            packed_hbm.at[:, pl.ds(blk * chunk, chunk)], buf.at[slot],
-            sem.at[slot])
+            packed_hbm.at[blk], buf.at[slot], sem.at[slot])
 
     def chunk_math(j, tcar, slot):
         """Shared forward replay for one chunk: returns the per-entry
@@ -979,6 +1053,8 @@ def _backward_flat(packed, starts, counts, ids, v_img, v_alpha,
         packed = jnp.pad(packed, ((0, pad_v), (0, pad_m)))
         V, M = packed.shape
     max_chunks = -(-max_per_tile // chunk) + 1
+    # chunk-major relayout (n_blocks, V, chunk): see _kernel_flat.dma
+    packed = packed.reshape(V, M // chunk, chunk).swapaxes(0, 1)
     g_rows = -(-(8 + d_col) // 8) * 8
 
     # cotangent images -> tile-major blocks (zero on the cropped pad)
@@ -1098,7 +1174,13 @@ def _flat_fwd(means2d, conics, colors, opacities, radii, depths, abs_tap,
             means2d, radii, depths, values, tile_size, tw, th,
             max_tiles_per_gauss, max_per_tile)
     import os
-    G = int(os.environ.get("WM_RASTER_GROUP", "4"))
+    # default G=1 (plain flat kernel): with the chunk-major packed relayout
+    # the windowed grouping lost its DMA advantage — round-4 cache-cleared
+    # sweep at S=4/518px: G=1 112.2 ms vs G=4 116.1 / G=8 115.9 / G=16
+    # 118.7; chunk 1024 regressed (129-134 ms). (The round-3 "grouped no
+    # gain" sweep was invalid: rasterize's module-level jit trace cache
+    # doesn't key on env vars, so every config re-timed the first one.)
+    G = int(os.environ.get("WM_RASTER_GROUP", "1"))
     if G > 1:
         img, alpha, extra = _forward_flat_grouped(
             flat.packed, flat.starts, flat.counts, width, height, tile_size,

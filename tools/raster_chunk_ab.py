@@ -56,6 +56,11 @@ def main():
 
     def run(chunk):
         os.environ["WM_RASTER_CHUNK"] = str(chunk)
+        # rasterize is a module-level @jax.jit whose trace cache does NOT
+        # key on env vars: without clearing, every config would re-time the
+        # first config's compiled code (round-4 methodology fix — this
+        # invalidated the round-3 chunk-sweep conclusions)
+        rasterizer._rasterize_jit.clear_cache()
 
         def chained(m):
             acc = 0.0
