@@ -62,6 +62,10 @@ class GSRendererConfig:
     # reports if a scene ever exceeds these.
     max_per_tile: int = 4096
     max_tiles_per_gauss: int = 4
+    # raster tile edge in px: blend-kernel work scales with P*I (P=edge^2
+    # pixels per tile, I total intersections); smaller tiles cut P 4x while
+    # raising I only ~1.5x for pixel-aligned splats
+    tile_size: int = 16
     rasterizer_impl: str = "jax"
     # f16-packed isect-sort payload on the pallas path (inference speed
     # knob, ~1e-3 render delta; see ops/rasterizer.py payload_f16)
@@ -478,6 +482,7 @@ def render(params, cfg: GSRendererConfig, gs_feats: jnp.ndarray,
                     splats["opacities"][b], splats["sh"][b],
                     lax.stop_gradient(w2c[b]), lax.stop_gradient(Ks[b]),
                     W, H, render_mode="RGB+ED",
+                    tile_size=cfg.tile_size,
                     max_per_tile=cfg.max_per_tile,
                     max_tiles_per_gauss=cfg.max_tiles_per_gauss,
                     impl=cfg.rasterizer_impl, quat_order="wxyz",

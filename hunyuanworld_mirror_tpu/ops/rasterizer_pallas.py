@@ -76,11 +76,14 @@ def _mxu_cumsum_incl(x, chunk: int, carry0=None):
 
 
 def _use_mxu_sigma() -> bool:
-    """WM_RASTER_MXU_SIGMA=0 falls back to the direct per-pixel sigma
-    elementwise (A/B knob; NB any in-process A/B must clear
-    _rasterize_jit's cache — env vars are not trace-cache keys)."""
+    """WM_RASTER_MXU_SIGMA=1 evaluates sigma via _sigma_mxu (A/B knob; NB
+    any in-process A/B must clear _rasterize_jit's cache — env vars are not
+    trace-cache keys). Default OFF: the cache-cleared round-4 A/B at
+    S=4/518px G=1 measured direct elementwise sigma FASTER (102.9 vs
+    113.0 ms with SUB=128; 134.7 vs 146.4 with SUB=512) — the coefficient
+    builds + K=6 dot cost more than the dx/dy elementwise they replace."""
     import os
-    return os.environ.get("WM_RASTER_MXU_SIGMA", "1") == "1"
+    return os.environ.get("WM_RASTER_MXU_SIGMA", "0") == "1"
 
 
 def _sigma_mxu(feat, mx, my, ca, cb, cc, cx, cy):

@@ -64,6 +64,23 @@ def tile_ranges(means2d: jnp.ndarray, radii: jnp.ndarray, tile_size: int,
 DEPTH_BITS = 20
 
 
+def depth_bits_for(n_tiles: int) -> int:
+    """Depth-quantization bits so (tile_id << db | depth_q) fits int31.
+
+    20 bits up to 2047 tiles (518px/16px tiles); shrinks for finer tile
+    grids (e.g. 8px tiles at 518px -> 4225 tiles -> 18 bits). Even 2^14
+    levels only permute splats closer than range/16k within one tile —
+    blending-order noise.
+    """
+    import math
+    db = int(math.floor(math.log2((2 ** 31 - 1) / (n_tiles + 1))))
+    db = min(DEPTH_BITS, db)
+    if db < 10:
+        raise ValueError(f"{n_tiles} tiles leaves {db} depth bits (<10); "
+                         "use a larger tile_size")
+    return db
+
+
 def _isect_keys(means2d, radii, depths, tile_size, tile_width, tile_height,
                 TPG: int, depth_bits: int = DEPTH_BITS):
     """Packed 31-bit isect sort keys: tile id | quantized depth (depth_bits).
@@ -146,9 +163,10 @@ def _searchsorted_2level(sorted_keys: jnp.ndarray, queries: jnp.ndarray,
     return (base + within).astype(jnp.int32)
 
 
-def _tile_edges(sorted_keys, n_tiles, max_per_tile, n_cover, TPG, valid):
+def _tile_edges(sorted_keys, n_tiles, max_per_tile, n_cover, TPG, valid,
+                depth_bits=DEPTH_BITS):
     edges = _searchsorted_2level(
-        sorted_keys, jnp.arange(n_tiles + 1, dtype=jnp.int32) << DEPTH_BITS)
+        sorted_keys, jnp.arange(n_tiles + 1, dtype=jnp.int32) << depth_bits)
     starts = edges[:-1]
     counts_full = edges[1:] - starts
     counts = jnp.minimum(counts_full, max_per_tile)
@@ -169,9 +187,11 @@ def bin_gaussians(means2d: jnp.ndarray, radii: jnp.ndarray, depths: jnp.ndarray,
     N = means2d.shape[0]
     n_tiles = tile_width * tile_height
     TPG = max_tiles_per_gauss
+    db = depth_bits_for(n_tiles)
 
     key, n_cover, valid = _isect_keys(means2d, radii, depths, tile_size,
-                                      tile_width, tile_height, TPG)
+                                      tile_width, tile_height, TPG,
+                                      depth_bits=db)
     # Unique flat entry index as a second sort key: quantized-depth ties then
     # order deterministically, so every re-bin (e.g. the backward's) replays
     # the exact blending order of the forward. gauss id = index % N (layout
@@ -182,7 +202,8 @@ def bin_gaussians(means2d: jnp.ndarray, radii: jnp.ndarray, depths: jnp.ndarray,
     sorted_gauss = lax.rem(sorted_idx, N)
 
     starts, counts, n_dropped = _tile_edges(sorted_keys, n_tiles, max_per_tile,
-                                            n_cover, TPG, valid)
+                                            n_cover, TPG, valid,
+                                            depth_bits=db)
 
     idx = starts[:, None] + jnp.arange(max_per_tile, dtype=jnp.int32)[None, :]
     idx = jnp.minimum(idx, N * TPG - 1)
@@ -322,9 +343,7 @@ def bin_gaussians_packed_prefix(means2d: jnp.ndarray, radii: jnp.ndarray,
         raise ValueError(
             f"slot_fracs has {len(slot_fracs)} entries, need "
             f"max_tiles_per_gauss={TPG}")
-    if n_tiles >= (1 << (31 - DEPTH_BITS)):
-        raise ValueError(f"{n_tiles} tiles overflows the packed isect key")
-    db = DEPTH_BITS
+    db = depth_bits_for(n_tiles)
 
     # per-gaussian box planes (same math as _isect_keys, N-component form)
     u, v = means2d[:, 0], means2d[:, 1]
@@ -445,9 +464,11 @@ def bin_gaussians_packed(means2d: jnp.ndarray, radii: jnp.ndarray,
     N = means2d.shape[0]
     n_tiles = tile_width * tile_height
     TPG = max_tiles_per_gauss
+    db = depth_bits_for(n_tiles)
 
     key, n_cover, valid = _isect_keys(means2d, radii, depths, tile_size,
-                                      tile_width, tile_height, TPG)
+                                      tile_width, tile_height, TPG,
+                                      depth_bits=db)
     if isinstance(values, (list, tuple)):
         planes = tuple(values)
     else:
@@ -467,7 +488,8 @@ def bin_gaussians_packed(means2d: jnp.ndarray, radii: jnp.ndarray,
     sorted_ = lax.sort(operands, num_keys=2, is_stable=False)
 
     starts, counts, n_dropped = _tile_edges(sorted_[0], n_tiles, max_per_tile,
-                                            n_cover, TPG, valid)
+                                            n_cover, TPG, valid,
+                                            depth_bits=db)
     packed = jnp.stack(sorted_[2:], axis=0)  # (V, N*TPG)
     if with_ids:
         return FlatBins(packed, starts, counts, n_dropped,

@@ -22,7 +22,7 @@ import numpy as np
 import pytest
 
 sys.path.insert(0, "/root/repo")
-# NOTE: do NOT put tools/ itself on sys.path here — tools/profile.py would
+# NOTE: do NOT put tools/ itself on sys.path here — tools/model_profile.py would
 # shadow the stdlib `profile` module for torch's cProfile import. The
 # namespace-package import `from tools import convert_weights` is safe.
 

@@ -4,7 +4,7 @@ SURVEY.md §5.1: the reference has no model-path profiling; this tool times
 encoder/trunk/heads/render separately, prints a phase table, reports the
 trunk's speed-of-light fraction, and optionally writes an xprof trace.
 
-  python tools/profile.py [--views 4] [--size 518] [--preset tiny] \
+  python tools/model_profile.py [--views 4] [--size 518] [--preset tiny] \
       [--trace /tmp/trace] [--iters 3]
 """
 

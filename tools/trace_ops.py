@@ -4,7 +4,7 @@ Usage: python tools/trace_ops.py /tmp/trace [N]
 
 Parses the .xplane.pb written by jax.profiler.trace via the xprof package's
 converter (the tensorboard_plugin_profile copy in this image has a protobuf
-version clash; xprof's own copy works). Complements tools/profile.py — that
+version clash; xprof's own copy works). Complements tools/model_profile.py — that
 gives per-phase wall times, this gives the op-level split inside one phase
 (SURVEY.md §5.1: the reference has no model-path profiling at all).
 """
