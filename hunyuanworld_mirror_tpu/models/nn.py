@@ -223,12 +223,29 @@ def conv_transpose_init(key, in_ch: int, out_ch: int, kernel: int, bias: bool = 
 
 
 def conv_transpose(p, x, stride: int):
-    y = lax.conv_transpose(
-        x, p["w"].astype(x.dtype),
-        strides=(stride, stride),
-        padding="VALID",
-        dimension_numbers=("NHWC", "HWOI", "NHWC"),
-    )
+    kh, kw, out_ch, in_ch = p["w"].shape
+    if (kh, kw) == (stride, stride):
+        # stride == kernel -> output blocks don't overlap, so the deconv is
+        # EXACTLY a per-pixel linear to a (kh*kw*out_ch) vector + pixel
+        # shuffle: one clean (B*H*W, Cin) @ (Cin, kh*kw*Cout) MXU matmul
+        # instead of XLA's general conv_transpose lowering (input dilation /
+        # kernel flip machinery). This is the DPT resize0/resize1 case
+        # (dense_head.py 4x4/s4 and 2x2/s2 deconvs).
+        B, H, W, _ = x.shape
+        # lax.conv_transpose (transpose_kernel=False) applies the SPATIALLY
+        # FLIPPED kernel — match it exactly (verified bit-identical)
+        wmat = p["w"][::-1, ::-1].transpose(3, 0, 1, 2).reshape(
+            in_ch, kh * kw * out_ch)
+        y = x @ wmat.astype(x.dtype)                  # (B, H, W, kh*kw*Cout)
+        y = y.reshape(B, H, W, kh, kw, out_ch)
+        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(B, H * kh, W * kw, out_ch)
+    else:
+        y = lax.conv_transpose(
+            x, p["w"].astype(x.dtype),
+            strides=(stride, stride),
+            padding="VALID",
+            dimension_numbers=("NHWC", "HWOI", "NHWC"),
+        )
     if "b" in p:
         y = y + p["b"].astype(x.dtype)
     return y
