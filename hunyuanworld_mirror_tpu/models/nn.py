@@ -199,14 +199,27 @@ def conv_init(key, in_ch: int, out_ch: int, kernel: int, bias: bool = True):
 
 
 def conv(p, x, stride: int = 1, padding="SAME"):
-    if isinstance(padding, int):
-        padding = [(padding, padding), (padding, padding)]
-    y = lax.conv_general_dilated(
-        x, p["w"].astype(x.dtype),
-        window_strides=(stride, stride),
-        padding=padding,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )
+    kh, kw, in_ch, out_ch = p["w"].shape
+    if ((kh, kw) == (stride, stride) and padding in ("VALID", 0)
+            and x.shape[1] % kh == 0 and x.shape[2] % kw == 0):
+        # patchify case (kernel == stride, e.g. the ViT 14x14/s14 embed):
+        # windows don't overlap, so the conv is space-to-depth + ONE
+        # (B*h*w, k*k*Cin) @ (k*k*Cin, Cout) MXU matmul — XLA's implicit-GEMM
+        # conv pads the C_in=3 contraction badly. Bit-identical reshuffle.
+        B, H, W, _ = x.shape
+        h, w = H // kh, W // kw
+        xp = x.reshape(B, h, kh, w, kw, in_ch)
+        xp = xp.transpose(0, 1, 3, 2, 4, 5).reshape(B, h, w, kh * kw * in_ch)
+        y = xp @ p["w"].reshape(kh * kw * in_ch, out_ch).astype(x.dtype)
+    else:
+        if isinstance(padding, int):
+            padding = [(padding, padding), (padding, padding)]
+        y = lax.conv_general_dilated(
+            x, p["w"].astype(x.dtype),
+            window_strides=(stride, stride),
+            padding=padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
     if "b" in p:
         y = y + p["b"].astype(x.dtype)
     return y
