@@ -336,14 +336,23 @@ def run_long_seq(img: int = 518):
 
 def run_long_seq64(img: int = 518):
     """North-star config 4's upper bound ("32-64 frames"): the S=64 row.
-    Scaling levers vs S=32: head_chunk stays 4 (peak head memory O(chunk)),
+    Scaling levers vs S=32: smaller head_chunk (peak head memory O(chunk));
     the render path's per-camera loop falls back to lax.map beyond
     WM_RASTER_UNROLL cameras, and the voxel/compact static caps bound the
-    splat count (drops are reported in render_n_dropped)."""
+    splat count (drops are reported in render_n_dropped). head_chunk=4
+    RESOURCE_EXHAUSTs on 16 GB v5e, so chunk 2 then 1 are tried."""
     prev = os.environ.get("WM_ATTN_IMPL")
     os.environ["WM_ATTN_IMPL"] = "flash"
     try:
-        return _long_row(64, img)
+        last = None
+        for hc in (2, 1):
+            try:
+                return _long_row(64, img, head_chunk=hc)
+            except Exception as e:
+                print(f"long-seq64 head_chunk={hc} failed: "
+                      f"{type(e).__name__}: {e}"[:300], file=sys.stderr)
+                last = e
+        raise last
     finally:
         if prev is None:
             os.environ.pop("WM_ATTN_IMPL", None)

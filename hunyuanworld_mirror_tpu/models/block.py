@@ -68,13 +68,15 @@ def attention(p, x: jnp.ndarray, num_heads: int,
         # the f32 output path bypasses the fast MXU route). So: logits in the
         # input dtype (the MXU accumulates in f32 internally).
         logits = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k)
-        if logits.dtype == jnp.bfloat16:
-            # bf16 softmax with an f32-ACCUMULATED sum: upcasting the whole
-            # logits tensor materialized 483 MB of f32 per frame layer at
-            # S=4/518px (the round-4 trace's 19 ms of trunk reduce_sum). The
-            # bf16 logits already carry ~1e-2 MXU rounding, so a bf16 exp
-            # adds nothing material; the f32 reduction dtype keeps the
-            # 1374-term sums stable without a materialized upcast.
+        import os
+        if (logits.dtype == jnp.bfloat16
+                and os.environ.get("WM_SOFTMAX", "f32") == "bf16"):
+            # bf16 softmax with an f32-accumulated sum. Default OFF: the
+            # round-4 TPU A/B measured it 20 ms SLOWER on the S=4/518px
+            # encoder (72.3 vs 52.8 ms) — XLA fuses the f32 upcast into the
+            # softmax (the trace's reduce_sum was NOT a materialized-f32
+            # cost) while the bf16 exp path lowers worse, and it moves
+            # outputs ~3%. Kept as a measured-and-rejected option.
             m = jnp.max(logits, axis=-1, keepdims=True)
             e = jnp.exp(logits - m)
             s = jnp.sum(e, axis=-1, keepdims=True, dtype=jnp.float32)
