@@ -293,10 +293,15 @@ def _long_row(s: int, img: int, head_chunk: int = 4) -> dict:
         print(f"long-seq render S={s} failed: "
               f"{type(e).__name__}: {e}", file=sys.stderr)
     try:  # BA refinement stage (refine/ba.py, infer.py --ba)
+        import dataclasses
         from hunyuanworld_mirror_tpu.models import worldmirror
         from hunyuanworld_mirror_tpu.refine import ba as ba_lib
+        # BA consumes only pts3d/depth/cameras — drop the GS pipeline from
+        # this forward so the S=64 row fits (the full-output S=64 forward +
+        # BA tracks OOMed 16 GB together)
+        cfg_ba = dataclasses.replace(cfg, enable_gs=False)
         fwd = jax.jit(lambda p, v: worldmirror.forward(
-            p, cfg, v, render=False))
+            p, cfg_ba, v, render=False))
         preds = fwd(params, views)
         keep = ("pts3d", "pts3d_conf", "depth", "camera_poses",
                 "camera_intrs")

@@ -410,14 +410,17 @@ def compact_splats(cfg: GSRendererConfig, splats: Dict) -> Dict:
     return out
 
 
-def render(params, cfg: GSRendererConfig, gs_feats: jnp.ndarray,
-           images: jnp.ndarray, predictions: Dict,
+def render(params, cfg: GSRendererConfig, gs_feats: Optional[jnp.ndarray] = None,
+           images: jnp.ndarray = None, predictions: Dict = None,
            do_render: bool = True, views: Optional[Dict] = None,
-           dist_mesh=None) -> Dict:
+           dist_mesh=None, gs_params: Optional[jnp.ndarray] = None) -> Dict:
     """Full GS pipeline: head conv -> splats -> (filter/prune) -> rasterize.
 
     Args:
-      gs_feats: (B, S, H, W, feature_dim/2) fused DPT features.
+      gs_feats: (B, S, H, W, feature_dim/2) fused DPT features; OR pass
+        gs_params (B*S, H, W, raw_channels) with the head conv already
+        applied (the head-chunked long-sequence path applies it per chunk
+        so the full fused map never materializes — worldmirror.forward).
       images: (B, S, H, W, 3).
       dist_mesh: optional Mesh with a >1 "view" axis — rendering then runs
         the gaussian-sharded distributed protocol (ops/distributed.py:
@@ -428,7 +431,8 @@ def render(params, cfg: GSRendererConfig, gs_feats: jnp.ndarray,
     `do_render`).
     """
     B, S, H, W, _ = images.shape
-    gs_params = _gs_head_apply(params, gs_feats.reshape(B * S, H, W, -1))
+    if gs_params is None:
+        gs_params = _gs_head_apply(params, gs_feats.reshape(B * S, H, W, -1))
     splats = prepare_splats(cfg, gs_params, images, predictions, views=views)
 
     if cfg.enable_conf_filter and "gs_depth_conf" in predictions:

@@ -255,14 +255,49 @@ def forward(params, cfg: WorldMirrorConfig, views: Dict[str, jnp.ndarray],
 
     if cfg.enable_gs:
         from . import gaussians
-        gs_feat, gs_depth, gs_depth_conf = _dpt_maybe_chunked(
-            params["gs_head"], cfg.gs_head, cfg, token_list, imgs,
-            patch_start_idx)
+        ck = cfg.head_chunk
+        if ck and S > ck and S % ck == 0:
+            # Fuse the gs-param conv INTO the chunk loop: the (B, S, H, W,
+            # 128) fused feature map is 8.8 GB fp32 at S=64/518px — it OOMed
+            # the 16 GB v5e even at head_chunk=1 when materialized whole.
+            # Reducing each chunk's fused map to the 14-channel raw splat
+            # params immediately keeps peak memory O(head_chunk).
+            n = S // ck
+
+            def split(x):
+                return x.reshape(B, n, ck, *x.shape[2:]).swapaxes(0, 1)
+
+            toks = tuple(split(t) for t in token_list)
+            ims = split(imgs)
+
+            def one(args):
+                ts, im = args
+                fused, gd, gdc = dpt.forward(
+                    params["gs_head"], cfg.gs_head, list(ts), im,
+                    patch_start_idx)
+                raw = gaussians._gs_head_apply(
+                    params["gs_renderer"],
+                    fused.reshape(B * ck, H, W, fused.shape[-1]))
+                return raw.reshape(B, ck, H, W, -1), gd, gdc
+
+            raw, gs_depth, gs_depth_conf = jax.lax.map(one, (toks, ims))
+
+            def unsplit(x):
+                return x.swapaxes(0, 1).reshape(B, S, *x.shape[3:])
+
+            raw = unsplit(raw)
+            gs_depth, gs_depth_conf = unsplit(gs_depth), unsplit(gs_depth_conf)
+            gs_kw = dict(gs_params=raw.reshape(B * S, H, W, raw.shape[-1]))
+        else:
+            gs_feat, gs_depth, gs_depth_conf = _dpt_maybe_chunked(
+                params["gs_head"], cfg.gs_head, cfg, token_list, imgs,
+                patch_start_idx)
+            gs_kw = dict(gs_feats=gs_feat)
         preds["gs_depth"] = gs_depth
         preds["gs_depth_conf"] = gs_depth_conf
         preds = gaussians.render(
             params["gs_renderer"], cfg.gs_renderer,
-            gs_feats=gs_feat, images=imgs, predictions=preds,
-            do_render=render, views=views, dist_mesh=ring_mesh)
+            images=imgs, predictions=preds,
+            do_render=render, views=views, dist_mesh=ring_mesh, **gs_kw)
 
     return preds
