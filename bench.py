@@ -296,6 +296,7 @@ def _long_row(s: int, img: int, head_chunk: int = 4) -> dict:
         import dataclasses
         from hunyuanworld_mirror_tpu.models import worldmirror
         from hunyuanworld_mirror_tpu.refine import ba as ba_lib
+        jax.clear_caches()  # free the fwd/render programs' device memory
         # BA consumes only pts3d/depth/cameras — drop the GS pipeline from
         # this forward so the S=64 row fits (the full-output S=64 forward +
         # BA tracks OOMed 16 GB together)
@@ -348,6 +349,10 @@ def run_long_seq64(img: int = 518):
     RESOURCE_EXHAUSTs on 16 GB v5e, so chunk 2 then 1 are tried."""
     prev = os.environ.get("WM_ATTN_IMPL")
     os.environ["WM_ATTN_IMPL"] = "flash"
+    # drop every compiled program from the S=4/S=32 rows first: their device
+    # allocations are what pushed the (standalone-fitting) S=64 render row
+    # into RESOURCE_EXHAUSTED when run in the same bench process
+    jax.clear_caches()
     try:
         last = None
         for hc in (2, 1):
