@@ -307,8 +307,12 @@ def _long_row(s: int, img: int, head_chunk: int = 4) -> dict:
         keep = ("pts3d", "pts3d_conf", "depth", "camera_poses",
                 "camera_intrs")
         preds = {k: preds[k] for k in keep}
-        ba = jax.jit(lambda p: ba_lib.refine_cameras(p, iters=12)[
-            "camera_poses"])
+        # landmark stride 16 -> ~1k landmarks/view; at S=64 the (landmarks x
+        # views) association program blew up the remote compiler, so the
+        # stride doubles (same 12-iter LM refinement, quarter the landmarks)
+        stride = 16 if s <= 32 else 32
+        ba = jax.jit(lambda p: ba_lib.refine_cameras(
+            p, stride=stride, iters=12)["camera_poses"])
         t_ba = _time(ba, preds, iters=2)
         out["ba_ms"] = round(1e3 * t_ba, 1)
     except Exception as e:
