@@ -166,6 +166,28 @@ def forward(p, cfg: DPTConfig, token_list: List[jnp.ndarray],
       is_gsdpt: (fused_feats (B,S,H,W,f/2), preds (B,S,H,W,out-1), conf (B,S,H,W))
       else:     (preds, conf)
     """
+    out = forward_raw(p, cfg, token_list, images, patch_start_idx)
+    head = out[0] if cfg.is_gsdpt else out
+    B, S = images.shape[:2]
+    if cfg.with_conf:
+        preds, conf = activate_head(head, cfg.activation)
+        conf = conf.reshape(B, S, *conf.shape[1:])
+    else:
+        act = cfg.activation.split("+")[0]
+        preds, conf = _ATTR_ACT[act](head), None
+    preds = preds.reshape(B, S, *preds.shape[1:])
+    if cfg.is_gsdpt:
+        fused = out[1].reshape(B, S, *out[1].shape[1:])
+        return fused, preds, conf
+    return preds, conf
+
+
+def forward_raw(p, cfg: DPTConfig, token_list: List[jnp.ndarray],
+                images: jnp.ndarray, patch_start_idx: int):
+    """The decode trunk of `forward` WITHOUT the activation zoo: returns the
+    fp32 pre-activation head map (B*S, H', W', output_dim) (plus the merged
+    fused map for gsdpt). Split out so heads with IDENTICAL decoder configs
+    but different activations (pts/norm) can share one vmapped decode."""
     B, S, H, W, _ = images.shape
     ph, pw = H // cfg.patch_size, W // cfg.patch_size
 
@@ -207,19 +229,10 @@ def forward(p, cfg: DPTConfig, token_list: List[jnp.ndarray],
     head = nn.conv(p["output_conv2"]["conv1"], fused, padding=1)
     head = nn.conv(p["output_conv2"]["conv2"], jax.nn.relu(head))
     head = head.astype(jnp.float32)  # activation math always fp32
-    if cfg.with_conf:
-        preds, conf = activate_head(head, cfg.activation)
-        conf = conf.reshape(B, S, *conf.shape[1:])
-    else:
-        act = cfg.activation.split("+")[0]
-        preds, conf = _ATTR_ACT[act](head), None
-    preds = preds.reshape(B, S, *preds.shape[1:])
 
     if cfg.is_gsdpt:
         img_feat = jax.nn.relu(
             nn.conv(p["input_merger"], images.reshape(B * S, H, W, 3).astype(cdtype),
                     padding=3))
-        fused = fused + img_feat
-        fused = fused.reshape(B, S, *fused.shape[1:])
-        return fused, preds, conf
-    return preds, conf
+        return head, fused + img_feat
+    return head

@@ -69,6 +69,10 @@ class WorldMirrorConfig:
     # shrink these on BOTH sides to keep fixtures commit-sized.
     dpt_features: Optional[int] = None
     dpt_out_channels: Optional[tuple] = None
+    # run the pts + normals heads (identical decoder configs, different
+    # final activations) as ONE vmapped decode over stacked weights —
+    # inference throughput knob, numerics identical per head
+    fuse_parallel_heads: bool = False
     # accepted-and-ignored: the reference's worldmirror.py:58-59 passes these
     # to a VGT constructor that doesn't declare them (SURVEY.md §2.1 quirk);
     # kept so checkpoints/configs serialized with them still load
@@ -239,19 +243,36 @@ def forward(params, cfg: WorldMirrorConfig, views: Dict[str, jnp.ndarray],
         preds["depth"] = depth          # (B, S, H, W, 1)
         preds["depth_conf"] = depth_conf
 
-    if cfg.enable_pts:
-        pts, pts_conf = _dpt_maybe_chunked(
-            params["pts_head"], cfg.pts_head, cfg, token_list, imgs,
-            patch_start_idx)
-        preds["pts3d"] = pts            # (B, S, H, W, 3)
-        preds["pts3d_conf"] = pts_conf
+    fuse_pn = (cfg.fuse_parallel_heads and cfg.enable_pts and cfg.enable_norm
+               and not cfg.head_chunk
+               and cfg.pts_head.output_dim == cfg.norm_head.output_dim)
+    if fuse_pn:
+        # pts + normals share an identical decoder config (only the final
+        # activation differs), so ONE vmapped decode over stacked weights
+        # replaces two sequential head passes (batch 2x through every conv)
+        stacked = jax.tree.map(lambda a, b: jnp.stack([a, b]),
+                               params["pts_head"], params["norm_head"])
+        raw = jax.vmap(lambda p: dpt.forward_raw(
+            p, cfg.pts_head, token_list, imgs, patch_start_idx))(stacked)
+        for i, (key, dcfg) in enumerate((("pts3d", cfg.pts_head),
+                                         ("normals", cfg.norm_head))):
+            a, c = dpt.activate_head(raw[i], dcfg.activation)
+            preds[key] = a.reshape(B, S, *a.shape[1:])
+            preds[f"{key}_conf"] = c.reshape(B, S, *c.shape[1:])
+    else:
+        if cfg.enable_pts:
+            pts, pts_conf = _dpt_maybe_chunked(
+                params["pts_head"], cfg.pts_head, cfg, token_list, imgs,
+                patch_start_idx)
+            preds["pts3d"] = pts            # (B, S, H, W, 3)
+            preds["pts3d_conf"] = pts_conf
 
-    if cfg.enable_norm:
-        normals, norm_conf = _dpt_maybe_chunked(
-            params["norm_head"], cfg.norm_head, cfg, token_list, imgs,
-            patch_start_idx)
-        preds["normals"] = normals
-        preds["normals_conf"] = norm_conf
+        if cfg.enable_norm:
+            normals, norm_conf = _dpt_maybe_chunked(
+                params["norm_head"], cfg.norm_head, cfg, token_list, imgs,
+                patch_start_idx)
+            preds["normals"] = normals
+            preds["normals_conf"] = norm_conf
 
     if cfg.enable_gs:
         from . import gaussians
