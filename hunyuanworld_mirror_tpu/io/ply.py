@@ -112,8 +112,12 @@ def save_splat(path, means: np.ndarray, scales: np.ndarray,
     op = np.asarray(opacities, np.float32).reshape(-1)
     sh_dc = np.asarray(sh_dc, np.float32).reshape(-1, 3)
 
+    # drop non-finite splats entirely — sorting them last still fed NaN/Inf
+    # position records to the WebGL viewer (advisor r4)
     ok = np.isfinite(means).all(1) & np.isfinite(scales).all(1)
-    order = np.argsort(-(scales.prod(axis=-1) * op) * ok)
+    means, scales, quats, op, sh_dc = (means[ok], scales[ok], quats[ok],
+                                       op[ok], sh_dc[ok])
+    order = np.argsort(-(scales.prod(axis=-1) * op))
     means, scales, quats, op, sh_dc = (means[order], scales[order],
                                        quats[order], op[order], sh_dc[order])
     quats = quats / np.maximum(

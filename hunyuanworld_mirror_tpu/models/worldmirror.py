@@ -198,7 +198,8 @@ def _dpt_maybe_chunked(p, dcfg, cfg, token_list, imgs, start):
 def forward(params, cfg: WorldMirrorConfig, views: Dict[str, jnp.ndarray],
             cond_flags: Sequence[int] = (0, 0, 0),
             render: bool = True, ring_mesh=None,
-            trunk_dtype=jnp.bfloat16) -> Dict[str, jnp.ndarray]:
+            trunk_dtype=jnp.bfloat16,
+            camera_params=None) -> Dict[str, jnp.ndarray]:
     """Full model forward.
 
     Args:
@@ -211,6 +212,11 @@ def forward(params, cfg: WorldMirrorConfig, views: Dict[str, jnp.ndarray],
       ring_mesh: optional device Mesh; when its "view" axis is >1, global
         cross-view attention runs as ring attention over that axis (the
         long-sequence / multi-host path, BASELINE configs 4-5).
+      camera_params: optional (B, S, 9) camera vectors that REPLACE the
+        camera head's prediction for everything downstream (splat
+        unprojection + rendering) — the known/calibrated-cameras eval
+        path (reference eval renders against GT poses); the head's own
+        prediction is still returned as 'camera_params_pred'.
     Returns:
       prediction dict (shapes per SURVEY.md §3.2).
     """
@@ -229,6 +235,9 @@ def forward(params, cfg: WorldMirrorConfig, views: Dict[str, jnp.ndarray],
     if cfg.enable_cam:
         cam_seq = camera_head.forward(params["cam_head"], cfg.cam_head, token_list)
         cam_params = cam_seq[-1]  # (B, S, 9)
+        if camera_params is not None:
+            preds["camera_params_pred"] = cam_params
+            cam_params = jnp.asarray(camera_params)
         preds["camera_params"] = cam_params
 
         ext, intr = cam_utils.vector_to_camera_matrices(cam_params, image_hw=(H, W))
@@ -243,9 +252,14 @@ def forward(params, cfg: WorldMirrorConfig, views: Dict[str, jnp.ndarray],
         preds["depth"] = depth          # (B, S, H, W, 1)
         preds["depth_conf"] = depth_conf
 
+    import dataclasses as _dc
+    # fusing decodes BOTH heads with cfg.pts_head and unpacks conf, so the
+    # two decoder configs must agree on EVERYTHING except the final
+    # activation (advisor r4 — output_dim equality alone was not enough)
     fuse_pn = (cfg.fuse_parallel_heads and cfg.enable_pts and cfg.enable_norm
-               and not cfg.head_chunk
-               and cfg.pts_head.output_dim == cfg.norm_head.output_dim)
+               and not cfg.head_chunk and cfg.pts_head.with_conf
+               and _dc.replace(cfg.pts_head, activation="")
+               == _dc.replace(cfg.norm_head, activation=""))
     if fuse_pn:
         # pts + normals share an identical decoder config (only the final
         # activation differs), so ONE vmapped decode over stacked weights

@@ -20,9 +20,13 @@ numerics but restructures the loop for the VPU/MXU:
     color accumulation   w^T @ colors on the MXU
     carry update         T *= chunk's total (1-alpha) product
 
-Gradients: `rasterize_binned_pallas` wears a custom VJP whose backward
-replays the mathematically identical JAX formulation (rasterizer.py) through
-jax.vjp — correct cotangents now, hand-written bwd kernel later.
+Gradients: the flagship `rasterize_flat_pallas` path wears a custom VJP
+whose backward is the hand-written in-kernel `_kernel_flat_bwd` (two
+front-to-back Pallas sweeps over the re-binned flat list; TPU grads
+validated in tests/test_rasterizer_pallas.py and tools/tpu_bwd_check.py).
+Only the dense-bin variant `rasterize_binned_pallas` still backprops by
+replaying the mathematically identical JAX formulation (rasterizer.py)
+through jax.vjp.
 """
 
 import functools
@@ -50,7 +54,12 @@ def _scan_sub(chunk: int) -> int:
     merely reassociate). SUB=chunk recovers the single-dot form."""
     import os
     sub = int(os.environ.get("WM_RASTER_SCAN_SUB", "128"))
-    return max(128, min(chunk, (sub // 128) * 128))
+    sub = max(128, min(chunk, (sub // 128) * 128))
+    # clamp to the largest 128-multiple DIVISOR of chunk: a non-divisor
+    # (e.g. 256 with chunk 384) would drop trailing columns (advisor r4)
+    while chunk % sub:
+        sub -= 128
+    return sub
 
 
 def _mxu_cumsum_incl(x, chunk: int, carry0=None):

@@ -414,6 +414,13 @@ def optimize_splats(
     eval_history = []
     if eval_data is not None and cfg.eval_every > 0:
         ev_imgs, ev_c2w, ev_Ks = eval_data
+        # eval renders reuse the TRAINING W,H render program — a mismatched
+        # eval resolution would shape-crash or mis-score (advisor r4)
+        ev_hw = np.asarray(ev_imgs).shape[1:3]
+        if tuple(ev_hw) != (H, W):
+            raise ValueError(
+                f"eval_data resolution {tuple(ev_hw)} != training ({H}, {W});"
+                " resize the held-out views to the training resolution")
         ev_vm = jnp.asarray(cam_utils.se3_inverse(jnp.asarray(ev_c2w)))
         ev_Ks_j = jnp.asarray(ev_Ks)
 
