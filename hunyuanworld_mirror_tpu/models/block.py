@@ -60,6 +60,17 @@ def attention(p, x: jnp.ndarray, num_heads: int,
         out = ring_self_attention(q, k, v, ring_mesh, scale)
     elif _use_flash(x.dtype, N, head_dim):
         out = _flash_core(q, k, v, scale)
+    elif _use_onepass(N, head_dim):
+        # short sequences (encoder + frame layers, N ~ 1.4k): the one-pass
+        # exact-softmax VMEM kernel beats BOTH einsum (which pays the HBM
+        # round trip of the (B, H, N, N) logits) and flash (online-softmax
+        # overhead + block padding) — measured 0.54 vs 1.17 (einsum) vs
+        # 0.65 ms (flash) per layer at N=1374/B=4 on v5e. Backward replays
+        # the einsum formulation (ops/attn_onepass.py), so training
+        # gradients keep einsum semantics; the O(N^2)-logits bwd memory is
+        # fine at frame length (flash keeps the long global sequences).
+        from ..ops.attn_onepass import onepass_attention
+        out = onepass_attention(q, k, v, scale)
     else:
         # Explicit einsum attention: on this TPU backend XLA's fused
         # jax.nn.dot_product_attention path is ~16x SLOWER than two plain
@@ -132,6 +143,20 @@ def _use_flash(dtype, n: int, head_dim: int) -> bool:
     # n < block is handled — gating on max(block, min_n) silently disabled
     # flash whenever WM_FLASH_BLOCK exceeded N (advisor finding r2).
     return head_dim % 64 == 0 and n >= min_n
+
+
+def _use_onepass(n: int, head_dim: int) -> bool:
+    """Route short sequences to the one-pass VMEM attention kernel
+    (ops/attn_onepass.py) on TPU. Covers exactly the lengths the einsum
+    path served (n < WM_FLASH_MIN_N); WM_ATTN_IMPL=einsum opts out."""
+    import os
+    if (os.environ.get("WM_ATTN_IMPL", "flash") == "einsum"
+            or jax.default_backend() != "tpu"):
+        return False
+    if os.environ.get("WM_ONEPASS", "1") != "1":
+        return False
+    return head_dim % 64 == 0 and n <= int(
+        os.environ.get("WM_ONEPASS_MAX_N", "4095"))
 
 
 def _flash_core(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,

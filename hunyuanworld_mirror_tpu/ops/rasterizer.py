@@ -232,7 +232,7 @@ def rasterize_binned_world_jax(
     "width", "height", "tile_size", "render_mode", "max_per_tile",
     "max_tiles_per_gauss", "impl", "calc_compensations", "quat_order",
     "camera_model", "with_eval3d", "ftheta_coeffs", "rolling_shutter",
-    "ut_params", "radius_clip", "camera_batch", "payload_f16", "slot_fracs"))
+    "ut_params", "radius_clip", "camera_batch", "payload_f16", "slot_fracs", "tight_radius"))
 def _rasterize_jit(
     means: jnp.ndarray,      # (N, 3) world-space
     quats: jnp.ndarray,      # (N, 4) — `quat_order` selects XYZW (framework
@@ -278,6 +278,11 @@ def _rasterize_jit(
                                  # ~4x fewer isect-sort rows (see
                                  # tiles.bin_gaussians_packed_prefix);
                                  # inference knob like payload_f16
+    tight_radius: bool = True,   # shrink binning radii to the alpha>=1/255
+                                 # level set (tiles.opacity_tight_radii) —
+                                 # EXACT (bit-identical renders+grads) and
+                                 # the reference's own default
+                                 # (gsplat rendering.py:388)
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Dict]:
     """gsplat.rasterization equivalent (dense single-batch layout).
 
@@ -355,6 +360,8 @@ def _rasterize_jit(
                   if proj.compensations is not None
                   else jnp.broadcast_to(opacities[None],
                                         proj.depths.shape))
+        radii_all = (tiles.opacity_tight_radii(proj.radii, op_all)
+                     if tight_radius else proj.radii)
 
         if colors.ndim == 2:
             col_all = jnp.broadcast_to(colors[None],
@@ -376,7 +383,7 @@ def _rasterize_jit(
             col_all = proj.depths[..., None]
 
         render_colors, render_alphas, n_drop = rasterize_flat_pallas_multi(
-            proj.means2d, proj.conics, col_all, op_all, proj.radii,
+            proj.means2d, proj.conics, col_all, op_all, radii_all,
             proj.depths, width, height, tile_size, max_tiles_per_gauss,
             max_per_tile)
         if render_mode in ("ED", "RGB+ED"):
@@ -416,6 +423,8 @@ def _rasterize_jit(
                               proj.depths[0], proj.radii[0])
         op = opacities * proj.compensations[0] if proj.compensations is not None \
             else opacities
+        if tight_radius:
+            rad = tiles.opacity_tight_radii(rad, op)
 
         if colors.ndim == 2:
             col = colors

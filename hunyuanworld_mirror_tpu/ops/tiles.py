@@ -47,6 +47,34 @@ class FlatBins(NamedTuple):
     gauss_ids: Optional[jnp.ndarray] = None  # (N*TPG,) i32 entry -> gaussian
 
 
+def opacity_tight_radii(radii: jnp.ndarray, opacities: jnp.ndarray,
+                        radius_factor: float = 3.33) -> jnp.ndarray:
+    """Shrink projected radii to the alpha >= 1/255 level set — EXACT.
+
+    Projection sizes radii as ceil(3.33 * sqrt(var_axis)) (projection.py),
+    i.e. the alpha cutoff of an opacity-1 splat (0.5 * 3.33^2 = 5.54 =
+    ln 255). For opacity `op` the blend kernels discard alpha =
+    op * exp(-sigma) < 1/255 outright (rasterizer.py `keep`, the Pallas
+    kernels' identical mask), so every pixel outside sigma <= ln(255 * op)
+    contributes exactly zero — and the AABB half-width of that level set is
+    sqrt(2 * ln(255 * op) * var_axis). Shrinking the binning radius to it
+    removes only intersections the kernel would mask anyway: renders and
+    gradients are BIT-IDENTICAL, while tile coverage (and with it isect
+    sort rows and blend chunks) drops with the scene's opacity profile.
+    op <= 1/255 culls the splat entirely (radius 0), same argument.
+
+    gsplat's CUDA projection ships the same opacity-aware extent
+    (ProjectionEWA3DGSFused.cu:164-184: extend = min(3.33,
+    sqrt(2 ln(op/ALPHA_THRESHOLD)))); shrinking the already-ceiled radius is
+    >= gsplat's ceil(extend * sqrt(var)), so coverage is never smaller than
+    the reference's.
+    """
+    lvl = 2.0 * jnp.log(jnp.maximum(opacities, 1e-12) * 255.0)
+    f = jnp.minimum(jnp.sqrt(jnp.maximum(lvl, 0.0)) / radius_factor, 1.0)
+    r = jnp.ceil(radii.astype(jnp.float32) * f[..., None]).astype(jnp.int32)
+    return jnp.where((lvl > 0.0)[..., None], r, 0)
+
+
 def tile_ranges(means2d: jnp.ndarray, radii: jnp.ndarray, tile_size: int,
                 tile_width: int, tile_height: int):
     """Per-gaussian clamped tile boxes; (tmin, tmax) each (N, 2) int32."""
