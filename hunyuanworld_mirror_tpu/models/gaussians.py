@@ -17,6 +17,7 @@ TPU re-design notes:
   * the per-batch python loops become `lax.map`s.
 """
 
+import os
 from dataclasses import dataclass
 from typing import Dict, Optional
 
@@ -82,6 +83,10 @@ class GSRendererConfig:
     # re-binned bwd). Prefix-excluded slots are counted in
     # predictions["render_n_dropped"].
     slot_fracs: Optional[object] = None
+    # exact ellipse-tile overlap mask in binning (tiles.conic_test_planes):
+    # EXACT semantics (up to f32 reassociation), fewer blend entries than
+    # the AABB test — default ON; WM_EXACT_TILE=0 disables for A/Bs.
+    exact_tile_test: bool = True
 
     @property
     def nums_sh(self) -> int:
@@ -491,7 +496,9 @@ def render(params, cfg: GSRendererConfig, gs_feats: Optional[jnp.ndarray] = None
                     max_tiles_per_gauss=cfg.max_tiles_per_gauss,
                     impl=cfg.rasterizer_impl, quat_order="wxyz",
                     payload_f16=cfg.payload_f16,
-                    slot_fracs=cfg.slot_fracs)
+                    slot_fracs=cfg.slot_fracs,
+                    exact_tile_test=(cfg.exact_tile_test and os.environ.get(
+                        "WM_EXACT_TILE", "1") == "1"))
                 n_drops.append(meta["n_dropped"])
             outs.append(colors)
             alphas.append(alpha)

@@ -91,7 +91,8 @@ def _render_local_cameras(m2d, con, dep, rad, col, op, width, height,
         elif render_mode in ("D", "ED"):
             col = dep[..., None]
         bins = tiles.bin_gaussians(m2d, rad, dep, tile_size, tw, th,
-                                   max_tiles_per_gauss, max_per_tile)
+                                   max_tiles_per_gauss, max_per_tile,
+                                   conic_test=tiles.conic_test_planes(con, op))
         if impl == "pallas":
             from .rasterizer_pallas import rasterize_binned_pallas
             return rasterize_binned_pallas(m2d, con, col, op, bins,

@@ -232,7 +232,8 @@ def rasterize_binned_world_jax(
     "width", "height", "tile_size", "render_mode", "max_per_tile",
     "max_tiles_per_gauss", "impl", "calc_compensations", "quat_order",
     "camera_model", "with_eval3d", "ftheta_coeffs", "rolling_shutter",
-    "ut_params", "radius_clip", "camera_batch", "payload_f16", "slot_fracs", "tight_radius"))
+    "ut_params", "radius_clip", "camera_batch", "payload_f16", "slot_fracs",
+    "tight_radius", "exact_tile_test"))
 def _rasterize_jit(
     means: jnp.ndarray,      # (N, 3) world-space
     quats: jnp.ndarray,      # (N, 4) — `quat_order` selects XYZW (framework
@@ -283,6 +284,14 @@ def _rasterize_jit(
                                  # EXACT (bit-identical renders+grads) and
                                  # the reference's own default
                                  # (gsplat rendering.py:388)
+    exact_tile_test: bool = True,  # exact ellipse-tile overlap mask in
+                                 # binning (tiles.conic_test_planes): drops
+                                 # AABB cells outside the alpha>=1/255 level
+                                 # set — EXACT like tight_radius, and a
+                                 # genuine improvement over gsplat's AABB
+                                 # test (IntersectTile.cu). Ignored by the
+                                 # eval3d path (world-space blend has no
+                                 # exact 2D conic).
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Dict]:
     """gsplat.rasterization equivalent (dense single-batch layout).
 
@@ -385,7 +394,7 @@ def _rasterize_jit(
         render_colors, render_alphas, n_drop = rasterize_flat_pallas_multi(
             proj.means2d, proj.conics, col_all, op_all, radii_all,
             proj.depths, width, height, tile_size, max_tiles_per_gauss,
-            max_per_tile)
+            max_per_tile, exact_test=exact_tile_test)
         if render_mode in ("ED", "RGB+ED"):
             render_colors = jnp.concatenate([
                 render_colors[..., :-1],
@@ -476,10 +485,13 @@ def _rasterize_jit(
             out, alpha, n_drop = rasterize_flat_pallas(
                 m2d, con, col, op, rad, dep, tap, width, height, tile_size,
                 max_tiles_per_gauss, max_per_tile, False, payload_f16,
-                slot_fracs)
+                slot_fracs, exact_tile_test)
         else:
-            bins = tiles.bin_gaussians(m2d, rad, dep, tile_size, tw, th,
-                                       max_tiles_per_gauss, max_per_tile)
+            bins = tiles.bin_gaussians(
+                m2d, rad, dep, tile_size, tw, th,
+                max_tiles_per_gauss, max_per_tile,
+                conic_test=(tiles.conic_test_planes(con, op)
+                            if exact_tile_test else None))
             out, alpha = rasterize_binned_jax(m2d, con, col, op, bins,
                                               width, height, tile_size)
             n_drop = bins.n_dropped

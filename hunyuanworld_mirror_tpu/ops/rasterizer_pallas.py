@@ -803,7 +803,8 @@ def _forward_flat_multi(packed, starts, counts, n_cams: int, width: int,
 def rasterize_flat_pallas_multi(means2d, conics, colors, opacities, radii,
                                 depths, width: int, height: int,
                                 tile_size: int, max_tiles_per_gauss: int,
-                                max_per_tile: int, interpret: bool = False):
+                                max_per_tile: int, interpret: bool = False,
+                                exact_test: bool = True):
     """Camera-batched flat path: ONE isect sort + ONE kernel launch for all
     C cameras (means2d/conics/colors/depths: (C, N, ...); opacities (C, N)).
 
@@ -823,7 +824,9 @@ def rasterize_flat_pallas_multi(means2d, conics, colors, opacities, radii,
         colors[..., j] for j in range(D))
     fl = tiles.bin_gaussians_packed_multi(
         means2d, radii, depths, values, tile_size, tw, th,
-        max_tiles_per_gauss, max_per_tile)
+        max_tiles_per_gauss, max_per_tile,
+        conic_test=(tiles.conic_test_planes(conics, opacities)
+                    if exact_test else None))
     out, alpha = _forward_flat_multi(
         fl.packed, fl.starts, fl.counts, C, width, height, tile_size,
         D, max_per_tile, interpret=interpret)
@@ -1125,14 +1128,15 @@ def _backward_flat(packed, starts, counts, ids, v_img, v_alpha,
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(7, 8, 9, 10, 11, 12, 13, 14))
+                   nondiff_argnums=(7, 8, 9, 10, 11, 12, 13, 14, 15))
 def rasterize_flat_pallas(means2d, conics, colors, opacities, radii, depths,
                           abs_tap,
                           width: int, height: int, tile_size: int,
                           max_tiles_per_gauss: int, max_per_tile: int,
                           interpret: bool = False,
                           payload_f16: bool = False,
-                          slot_fracs=None):
+                          slot_fracs=None,
+                          exact_test: bool = True):
     """Bin + rasterize one camera via the flat sorted-list kernel.
 
     Binning (tiles.bin_gaussians_packed) lives inside the custom VJP: the
@@ -1149,13 +1153,15 @@ def rasterize_flat_pallas(means2d, conics, colors, opacities, radii, depths,
     """
     out, _ = _flat_fwd(means2d, conics, colors, opacities, radii, depths,
                        abs_tap, width, height, tile_size, max_tiles_per_gauss,
-                       max_per_tile, interpret, payload_f16, slot_fracs)
+                       max_per_tile, interpret, payload_f16, slot_fracs,
+                       exact_test)
     return out
 
 
 def _flat_fwd(means2d, conics, colors, opacities, radii, depths, abs_tap,
               width, height, tile_size, max_tiles_per_gauss, max_per_tile,
-              interpret, payload_f16=False, slot_fracs=None):
+              interpret, payload_f16=False, slot_fracs=None,
+              exact_test=True):
     tw = (width + tile_size - 1) // tile_size
     th = (height + tile_size - 1) // tile_size
     # payload as (N,) planes: a concatenated (N, 10) matrix would lane-pad
@@ -1177,14 +1183,17 @@ def _flat_fwd(means2d, conics, colors, opacities, radii, depths, abs_tap,
         values = ((means2d[:, 0], means2d[:, 1], conics[:, 0], conics[:, 1],
                    conics[:, 2], opacities)
                   + tuple(colors[:, i] for i in range(colors.shape[-1])))
+    conic_test = (tiles.conic_test_planes(conics, opacities)
+                  if exact_test else None)
     if slot_fracs is not None:
         flat = tiles.bin_gaussians_packed_prefix(
             means2d, radii, depths, values, tile_size, tw, th,
-            max_tiles_per_gauss, max_per_tile, slot_fracs=slot_fracs)
+            max_tiles_per_gauss, max_per_tile, slot_fracs=slot_fracs,
+            conic_test=conic_test)
     else:
         flat = tiles.bin_gaussians_packed(
             means2d, radii, depths, values, tile_size, tw, th,
-            max_tiles_per_gauss, max_per_tile)
+            max_tiles_per_gauss, max_per_tile, conic_test=conic_test)
     import os
     # default G=1 (plain flat kernel): with the chunk-major packed relayout
     # the windowed grouping lost its DMA advantage — round-4 cache-cleared
@@ -1210,10 +1219,14 @@ def _flat_fwd(means2d, conics, colors, opacities, radii, depths, abs_tap,
 
 
 def _flat_bwd(width, height, tile_size, max_tiles_per_gauss, max_per_tile,
-              interpret, payload_f16, slot_fracs, residuals, cotangents):
+              interpret, payload_f16, slot_fracs, exact_test, residuals,
+              cotangents):
     # slot_fracs intentionally ignored: like payload_f16, the backward
     # replays the exact full binning (the prefix path is an inference-side
-    # forward approximation; its drops are reported via n_dropped)
+    # forward approximation; its drops are reported via n_dropped).
+    # exact_test IS honored: the ellipse-masked entries contribute zero to
+    # both the forward and every gradient, but masking must match the
+    # forward so max_per_tile cap truncation falls on identical entries.
     del slot_fracs
     means2d, conics, colors, opacities, radii, depths = residuals
     tw = (width + tile_size - 1) // tile_size
@@ -1227,7 +1240,9 @@ def _flat_bwd(width, height, tile_size, max_tiles_per_gauss, max_per_tile,
               + tuple(colors[:, i] for i in range(colors.shape[-1])))
     flat = tiles.bin_gaussians_packed(
         means2d, radii, depths, values, tile_size, tw, th,
-        max_tiles_per_gauss, max_per_tile, with_ids=True)
+        max_tiles_per_gauss, max_per_tile, with_ids=True,
+        conic_test=(tiles.conic_test_planes(conics, opacities)
+                    if exact_test else None))
     v_img, v_alpha, _ = cotangents
     gm, gc, gcol, gop, gabs = _backward_flat(
         flat.packed, flat.starts, flat.counts, flat.gauss_ids,

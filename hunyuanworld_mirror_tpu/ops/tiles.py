@@ -75,6 +75,70 @@ def opacity_tight_radii(radii: jnp.ndarray, opacities: jnp.ndarray,
     return jnp.where((lvl > 0.0)[..., None], r, 0)
 
 
+def _rect_sigma_min(u, v, ca, cb, cc, x0, x1, y0, y1):
+    """Min of sigma(d) = 0.5*(ca dx^2 + cc dy^2) + cb dx dy over the rect
+    [x0,x1]x[y0,y1] of pixel centers, exactly: the quadratic is convex (PSD
+    conic), so the minimum is 0 when the splat center lies inside the rect
+    and otherwise sits on one of the four edges, where the 1D minimizer
+    along the edge has the closed form t* = -b*d/axis, clamped to the edge
+    span. All args broadcastable planes; ~30 VPU flops per (slot, gaussian).
+    """
+    inside = (u >= x0) & (u <= x1) & (v >= y0) & (v <= y1)
+
+    def edge_x(xe):  # vertical edge x = xe, y free in [y0, y1]
+        dx = xe - u
+        t = jnp.clip(-cb * dx / jnp.maximum(cc, 1e-12), y0 - v, y1 - v)
+        return 0.5 * (ca * dx * dx + cc * t * t) + cb * dx * t
+
+    def edge_y(ye):  # horizontal edge y = ye, x free in [x0, x1]
+        dy = ye - v
+        t = jnp.clip(-cb * dy / jnp.maximum(ca, 1e-12), x0 - u, x1 - u)
+        return 0.5 * (ca * t * t + cc * dy * dy) + cb * t * dy
+
+    m = jnp.minimum(jnp.minimum(edge_x(x0), edge_x(x1)),
+                    jnp.minimum(edge_y(y0), edge_y(y1)))
+    return jnp.where(inside, 0.0, m)
+
+
+# Keep-side slack on the sigma<=level comparison: the rect minimum is exact
+# in real arithmetic but computed in f32 with different rounding than the
+# blend kernels' per-pixel sigma; the slack only ever KEEPS extra boundary
+# tiles (whose pixels the kernels mask anyway), never drops one.
+_CONIC_TEST_EPS = 1e-3
+
+
+def conic_test_planes(conics: jnp.ndarray, opacities: jnp.ndarray):
+    """Payload for the exact ellipse-tile binning test: (ca, cb, cc, level)
+    planes, level = ln(255 * op) — the sigma at which alpha crosses the
+    blend kernels' ALPHA_THRESHOLD = 1/255 discard (rasterizer.py `keep`).
+
+    A tile whose pixel-center rect has min-sigma > level receives only
+    contributions the kernel masks to zero, so excluding it from binning is
+    EXACT up to f32 summation reassociation (~1 ulp: removing a
+    zero-contribution entry shifts later entries' positions in the blend
+    reduction) — the same argument as opacity_tight_radii, applied per tile
+    instead of per axis. Both gsplat
+    (IntersectTile.cu) and the classic path here bin by the conservative
+    AABB of the level set; a diagonal anisotropic splat overlaps ~2x more
+    AABB tiles than ellipse tiles, all of which cost blend work.
+    """
+    return (conics[..., 0], conics[..., 1], conics[..., 2],
+            jnp.log(jnp.maximum(opacities, 1e-12) * 255.0))
+
+
+def _conic_slot_mask(conic_test, tx, ty, u, v, tile_size):
+    """slot keep-mask: does tile (tx, ty)'s pixel-center rect intersect the
+    alpha >= 1/255 level-set ellipse? Shapes: tx/ty (TPG, N) or (rows,);
+    conic_test planes broadcast against them."""
+    ca, cb, cc, lvl = conic_test
+    x0 = tx.astype(jnp.float32) * tile_size + 0.5
+    y0 = ty.astype(jnp.float32) * tile_size + 0.5
+    x1 = x0 + (tile_size - 1)
+    y1 = y0 + (tile_size - 1)
+    smin = _rect_sigma_min(u, v, ca, cb, cc, x0, x1, y0, y1)
+    return smin <= lvl + _CONIC_TEST_EPS
+
+
 def tile_ranges(means2d: jnp.ndarray, radii: jnp.ndarray, tile_size: int,
                 tile_width: int, tile_height: int):
     """Per-gaussian clamped tile boxes; (tmin, tmax) each (N, 2) int32."""
@@ -110,7 +174,7 @@ def depth_bits_for(n_tiles: int) -> int:
 
 
 def _isect_keys(means2d, radii, depths, tile_size, tile_width, tile_height,
-                TPG: int, depth_bits: int = DEPTH_BITS):
+                TPG: int, depth_bits: int = DEPTH_BITS, conic_test=None):
     """Packed 31-bit isect sort keys: tile id | quantized depth (depth_bits).
 
     The CUDA isect-key trick (IntersectTile.cu packs (tile|depth) 64-bit keys
@@ -149,6 +213,11 @@ def _isect_keys(means2d, radii, depths, tile_size, tile_width, tile_height,
     tx = txmin[None, :] + k % bw_safe
     ty = tymin[None, :] + k // bw_safe
     slot_valid = (k < n_cover[None, :]) & valid[None, :]
+    if conic_test is not None:
+        # exact ellipse-tile test (conic_test_planes): AABB cells outside the
+        # alpha>=1/255 level set sort to the sentinel — fewer per-tile blend
+        # entries at bit-identical semantics
+        slot_valid &= _conic_slot_mask(conic_test, tx, ty, u, v, tile_size)
     tile_id = jnp.where(slot_valid, ty * tile_width + tx, n_tiles)  # sentinel
 
     d_ok = jnp.where(valid, depths, jnp.inf)
@@ -206,11 +275,13 @@ def _tile_edges(sorted_keys, n_tiles, max_per_tile, n_cover, TPG, valid,
 def bin_gaussians(means2d: jnp.ndarray, radii: jnp.ndarray, depths: jnp.ndarray,
                   tile_size: int, tile_width: int, tile_height: int,
                   max_tiles_per_gauss: int = 9,
-                  max_per_tile: int = 1024) -> TileBins:
+                  max_per_tile: int = 1024, conic_test=None) -> TileBins:
     """Bin N projected gaussians of ONE camera into per-tile depth-sorted lists.
 
     Args:
       means2d: (N, 2); radii: (N, 2) int; depths: (N,).
+      conic_test: optional conic_test_planes(...) for the exact ellipse-tile
+        overlap mask (bit-identical renders, fewer per-tile entries).
     """
     N = means2d.shape[0]
     n_tiles = tile_width * tile_height
@@ -219,7 +290,7 @@ def bin_gaussians(means2d: jnp.ndarray, radii: jnp.ndarray, depths: jnp.ndarray,
 
     key, n_cover, valid = _isect_keys(means2d, radii, depths, tile_size,
                                       tile_width, tile_height, TPG,
-                                      depth_bits=db)
+                                      depth_bits=db, conic_test=conic_test)
     # Unique flat entry index as a second sort key: quantized-depth ties then
     # order deterministically, so every re-bin (e.g. the backward's) replays
     # the exact blending order of the forward. gauss id = index % N (layout
@@ -265,7 +336,8 @@ def bin_gaussians_packed_multi(means2d: jnp.ndarray, radii: jnp.ndarray,
                                tile_height: int,
                                max_tiles_per_gauss: int = 9,
                                max_per_tile: int = 1024,
-                               with_ids: bool = False) -> FlatBins:
+                               with_ids: bool = False,
+                               conic_test=None) -> FlatBins:
     """Camera-batched bin_gaussians_packed: ONE global sort for all cameras.
 
     Args:
@@ -282,10 +354,17 @@ def bin_gaussians_packed_multi(means2d: jnp.ndarray, radii: jnp.ndarray,
     TPG = max_tiles_per_gauss
     db = multi_camera_depth_bits(C, n_tiles)
 
-    keys, covers, valids = jax.vmap(
-        lambda m, r, d: _isect_keys(m, r, d, tile_size, tile_width,
-                                    tile_height, TPG, depth_bits=db)
-    )(means2d, radii, depths)                       # (C, TPG, N), (C, N) x2
+    if conic_test is None:
+        keys, covers, valids = jax.vmap(
+            lambda m, r, d: _isect_keys(m, r, d, tile_size, tile_width,
+                                        tile_height, TPG, depth_bits=db)
+        )(means2d, radii, depths)                   # (C, TPG, N), (C, N) x2
+    else:
+        keys, covers, valids = jax.vmap(
+            lambda m, r, d, ct: _isect_keys(m, r, d, tile_size, tile_width,
+                                            tile_height, TPG, depth_bits=db,
+                                            conic_test=ct)
+        )(means2d, radii, depths, conic_test)
     cam = jnp.arange(C, dtype=jnp.int32)[:, None, None]
     keys = keys + ((cam * (n_tiles + 1)) << db)
 
@@ -337,7 +416,8 @@ def bin_gaussians_packed_prefix(means2d: jnp.ndarray, radii: jnp.ndarray,
                                 max_tiles_per_gauss: int = 9,
                                 max_per_tile: int = 1024,
                                 slot_fracs="auto",
-                                align: int = 512) -> FlatBins:
+                                align: int = 512,
+                                conic_test=None) -> FlatBins:
     """Coverage-scheduled variant of bin_gaussians_packed: ~4x fewer sorted
     rows at equal semantics on measured scenes.
 
@@ -405,13 +485,21 @@ def bin_gaussians_packed_prefix(means2d: jnp.ndarray, radii: jnp.ndarray,
         values = tuple(values_t[r] for r in range(values.shape[1]))
     V = len(values)
 
+    # exact ellipse-tile test payload rides the coverage pre-sort: the mask
+    # needs (u, v, conic, level) per coverage-sorted row, and `values` may be
+    # f16-packed (payload_f16), so the test carries its own f32 planes
+    ct_planes = ()
+    if conic_test is not None:
+        ct_planes = (u, v) + tuple(conic_test)
+
     idxN = jnp.arange(N, dtype=jnp.int32)
-    pre = lax.sort((-cover_c, idxN, boxpack, dq) + tuple(values),
+    pre = lax.sort((-cover_c, idxN, boxpack, dq) + ct_planes + tuple(values),
                    num_keys=2, is_stable=False)
     cover_s = -pre[0]
     orig_s = pre[1]          # coverage-sorted row -> original gaussian index
     box_s, dq_s = pre[2], pre[3]
-    planes_s = pre[4:]
+    ct_s = pre[4:4 + len(ct_planes)]
+    planes_s = pre[4 + len(ct_planes):]
 
     P = [min(N, -(-int(N * f) // align) * align) for f in slot_fracs]
     key_parts, tie_parts, plane_parts = [], [], [[] for _ in range(V)]
@@ -426,6 +514,10 @@ def bin_gaussians_packed_prefix(means2d: jnp.ndarray, radii: jnp.ndarray,
         tx = txm + k % bws
         ty = tym + k // bws
         slot_ok = k < cover_s[:pk]
+        if conic_test is not None:
+            u_s, v_s = ct_s[0][:pk], ct_s[1][:pk]
+            slot_ok &= _conic_slot_mask(tuple(p[:pk] for p in ct_s[2:]),
+                                        tx, ty, u_s, v_s, tile_size)
         tile = jnp.where(slot_ok, ty * tile_width + tx, n_tiles)
         key_parts.append((tile << db) | dq_s[:pk])
         # classic flat_idx (= k*N + original gaussian index, the (TPG, N)
@@ -480,7 +572,8 @@ def bin_gaussians_packed(means2d: jnp.ndarray, radii: jnp.ndarray,
                          tile_size: int, tile_width: int, tile_height: int,
                          max_tiles_per_gauss: int = 9,
                          max_per_tile: int = 1024,
-                         with_ids: bool = False) -> FlatBins:
+                         with_ids: bool = False,
+                         conic_test=None) -> FlatBins:
     """Like bin_gaussians, but the per-gaussian payload `values` rides the
     sort as extra operands, producing the component-major sorted flat
     intersection list consumed by the flat Pallas kernel (no dense gathers).
@@ -496,7 +589,7 @@ def bin_gaussians_packed(means2d: jnp.ndarray, radii: jnp.ndarray,
 
     key, n_cover, valid = _isect_keys(means2d, radii, depths, tile_size,
                                       tile_width, tile_height, TPG,
-                                      depth_bits=db)
+                                      depth_bits=db, conic_test=conic_test)
     if isinstance(values, (list, tuple)):
         planes = tuple(values)
     else:

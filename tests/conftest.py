@@ -12,6 +12,16 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
 
+# The axon sitecustomize (PYTHONPATH=/root/.axon_site) registers the TPU
+# backend at interpreter start and hard-sets jax_platforms="axon,cpu" via
+# jax.config.update — which OVERRIDES the env var above, silently running
+# "CPU" tests on (and contending for) the one real TPU chip. Re-update the
+# config before any backend initializes; this is a no-op when no axon
+# registration happened.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -229,3 +229,112 @@ def test_radius_clip(rng):
         jnp.asarray(opac), jnp.asarray(colors), jnp.asarray(viewmats),
         jnp.asarray(Ks), radius_clip=1.0, **common)
     assert np.isfinite(np.asarray(out_lo)).all()
+
+
+class TestExactTileTest:
+    """Exact ellipse-tile overlap mask (tiles.conic_test_planes, VERDICT r4
+    #3): binning must drop only AABB cells outside the alpha>=1/255 level
+    set — renders bit-identical, per-tile entry counts <=, and genuinely
+    smaller for anisotropic splats (where the AABB overlaps ~2x more tiles
+    than the ellipse)."""
+
+    def _aniso_scene(self, rng, n=150):
+        means, quats, scales, opac, colors, viewmats, Ks = _random_scene(
+            rng, n=n, c=1)
+        # strongly anisotropic: 20:1 axis ratios produce diagonal footprints
+        scales = np.stack([
+            rng.uniform(0.2, 0.5, size=n),
+            rng.uniform(0.01, 0.03, size=n),
+            rng.uniform(0.01, 0.03, size=n)], -1).astype(np.float32)
+        return means, quats, scales, opac, colors, viewmats, Ks
+
+    def _project(self, means, quats, scales, viewmats, Ks, W, H):
+        covars = projection.quat_scale_to_covar(
+            jnp.asarray(quats), jnp.asarray(scales))
+        return projection.fully_fused_projection(
+            jnp.asarray(means), covars, jnp.asarray(viewmats),
+            jnp.asarray(Ks), W, H)
+
+    def test_counts_reduced_render_identical(self, rng):
+        means, quats, scales, opac, colors, viewmats, Ks = \
+            self._aniso_scene(rng)
+        W, H, ts, tw, th = 64, 48, 16, 4, 3
+        proj = self._project(means, quats, scales, viewmats, Ks, W, H)
+        m2d, rad, dep = proj.means2d[0], proj.radii[0], proj.depths[0]
+        con, op = proj.conics[0], jnp.asarray(opac)
+
+        kw = dict(max_tiles_per_gauss=16, max_per_tile=2048)
+        b_aabb = tiles.bin_gaussians(m2d, rad, dep, ts, tw, th, **kw)
+        ct = tiles.conic_test_planes(con, op)
+        b_ell = tiles.bin_gaussians(m2d, rad, dep, ts, tw, th,
+                                    conic_test=ct, **kw)
+        c_aabb = int(np.asarray(b_aabb.counts).sum())
+        c_ell = int(np.asarray(b_ell.counts).sum())
+        assert c_ell <= c_aabb
+        assert c_ell < c_aabb, "anisotropic scene must shed AABB-only cells"
+
+        from hunyuanworld_mirror_tpu.ops.rasterizer import rasterize_binned_jax
+        col = jnp.asarray(colors)
+        img_a, al_a = rasterize_binned_jax(m2d, con, col, op, b_aabb, W, H, ts)
+        img_e, al_e = rasterize_binned_jax(m2d, con, col, op, b_ell, W, H, ts)
+        # every removed entry contributes exactly zero, but its removal
+        # shifts later entries' positions in the f32 reduction — the only
+        # permitted delta is summation-reassociation noise (~1 ulp)
+        np.testing.assert_allclose(np.asarray(img_a), np.asarray(img_e),
+                                   atol=5e-7)
+        np.testing.assert_allclose(np.asarray(al_a), np.asarray(al_e),
+                                   atol=5e-7)
+
+    def test_mask_never_drops_contributing_tile(self, rng):
+        """Brute force: every tile with a pixel whose alpha >= 1/255 must
+        survive the mask (the exactness direction that matters)."""
+        means, quats, scales, opac, colors, viewmats, Ks = \
+            self._aniso_scene(rng, n=60)
+        W, H, ts, tw, th = 64, 48, 16, 4, 3
+        proj = self._project(means, quats, scales, viewmats, Ks, W, H)
+        m2d = np.asarray(proj.means2d[0])
+        con = np.asarray(proj.conics[0])
+        rad = np.asarray(proj.radii[0])
+        ct = tiles.conic_test_planes(proj.conics[0], jnp.asarray(opac))
+
+        tmin, tmax, valid = map(np.asarray, tiles.tile_ranges(
+            proj.means2d[0], proj.radii[0], ts, tw, th))
+        lvl = np.log(np.maximum(opac, 1e-12) * 255.0)
+        for n in range(60):
+            if not valid[n]:
+                continue
+            for ty in range(tmin[n, 1], tmax[n, 1]):
+                for tx in range(tmin[n, 0], tmax[n, 0]):
+                    px, py = np.meshgrid(
+                        tx * ts + np.arange(ts) + 0.5,
+                        ty * ts + np.arange(ts) + 0.5)
+                    dx, dy = px - m2d[n, 0], py - m2d[n, 1]
+                    a, b, c = con[n]
+                    sig = 0.5 * (a * dx * dx + c * dy * dy) + b * dx * dy
+                    contributes = (sig <= lvl[n]).any()
+                    keep = bool(np.asarray(tiles._conic_slot_mask(
+                        tuple(p[n] for p in ct),
+                        jnp.asarray(tx), jnp.asarray(ty),
+                        proj.means2d[0][n, 0], proj.means2d[0][n, 1], ts)))
+                    if contributes:
+                        assert keep, (n, tx, ty)
+
+    def test_prefix_path_accepts_conic_test(self, rng):
+        means, quats, scales, opac, colors, viewmats, Ks = \
+            self._aniso_scene(rng, n=100)
+        W, H, ts, tw, th = 64, 48, 16, 4, 3
+        proj = self._project(means, quats, scales, viewmats, Ks, W, H)
+        m2d, rad, dep = proj.means2d[0], proj.radii[0], proj.depths[0]
+        con, op = proj.conics[0], jnp.asarray(opac)
+        values = (m2d[:, 0], m2d[:, 1], con[:, 0], con[:, 1], con[:, 2], op)
+        ct = tiles.conic_test_planes(con, op)
+        fl = tiles.bin_gaussians_packed_prefix(
+            m2d, rad, dep, values, ts, tw, th, max_tiles_per_gauss=9,
+            max_per_tile=1024, slot_fracs=(1.0,) * 9, align=128,
+            conic_test=ct)
+        fl_classic = tiles.bin_gaussians_packed(
+            m2d, rad, dep, values, ts, tw, th, max_tiles_per_gauss=9,
+            max_per_tile=1024, conic_test=ct)
+        # full-prefix scheduling with the same mask = identical counts
+        np.testing.assert_array_equal(np.asarray(fl.counts),
+                                      np.asarray(fl_classic.counts))
